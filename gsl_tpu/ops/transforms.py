@@ -1,0 +1,51 @@
+"""Quaternion / covariance math for 3D Gaussians (pure JAX, VPU-friendly).
+
+Semantics match the reference EWA pipeline
+(/root/reference/internal/utils/gaussian_projection.py:211-254,
+ /root/reference/internal/utils/general_utils.py build_rotation): quaternions
+are wxyz; Sigma = R S S^T R^T with S = diag(scales).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def normalize_quat(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Normalize quaternions [..., 4] (wxyz)."""
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """wxyz quaternion [..., 4] -> rotation matrix [..., 3, 3].
+
+    Assumes input is already normalized (call normalize_quat first).
+    """
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - w * z)
+    r02 = 2.0 * (x * z + w * y)
+    r10 = 2.0 * (x * y + w * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - w * x)
+    r20 = 2.0 * (x * z - w * y)
+    r21 = 2.0 * (y * z + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], axis=-1),
+            jnp.stack([r10, r11, r12], axis=-1),
+            jnp.stack([r20, r21, r22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def build_cov3d(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
+    """3D covariance Sigma = (R S)(R S)^T.
+
+    scales: activated (positive) scales [..., 3]; quats: normalized wxyz [..., 4].
+    Returns [..., 3, 3].
+    """
+    R = quat_to_rotmat(quats)
+    M = R * scales[..., None, :]  # R @ diag(s)
+    return M @ jnp.swapaxes(M, -1, -2)

@@ -1,0 +1,69 @@
+"""Per-property optimizers over the GaussianState pytree.
+
+Functional replacement for the reference per-param-group Adam setup
+(/root/reference/internal/models/vanilla_gaussian.py:241-309) and the
+optimizer-state surgery utilities
+(/root/reference/internal/density_controllers/density_controller.py:47-209):
+with capacity-padded arrays, "surgery" reduces to masked row edits on the
+Adam moment pytree (see `zero_opt_state_rows`).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.gaussian import GaussianParams, OptimizationConfig
+from .schedulers import exponential_decay
+
+
+def build_gaussian_optimizer(opt_cfg: OptimizationConfig,
+                             spatial_lr_scale: float):
+    """optax.multi_transform with one Adam per Gaussian property, reference
+    LRs (means exp-decayed x spatial_lr_scale)."""
+    scale = (opt_cfg.spatial_lr_scale
+             if opt_cfg.spatial_lr_scale > 0 else spatial_lr_scale)
+    means_schedule = exponential_decay(
+        lr_init=opt_cfg.means_lr_init * scale,
+        lr_final=opt_cfg.means_lr_init * opt_cfg.means_lr_final_factor * scale,
+        max_steps=opt_cfg.means_lr_max_steps,
+    )
+
+    def adam(lr):
+        return optax.adam(lr, b1=0.9, b2=0.999, eps=opt_cfg.eps)
+
+    transforms = {
+        "means": adam(means_schedule),
+        "scales": adam(opt_cfg.scales_lr),
+        "rotations": adam(opt_cfg.rotations_lr),
+        "opacities": adam(opt_cfg.opacities_lr),
+        "shs_dc": adam(opt_cfg.shs_dc_lr),
+        "shs_rest": adam(opt_cfg.shs_dc_lr / opt_cfg.shs_rest_lr_div),
+    }
+    labels = GaussianParams(
+        means="means", scales="scales", rotations="rotations",
+        opacities="opacities", shs_dc="shs_dc", shs_rest="shs_rest",
+    )
+    return optax.multi_transform(transforms, labels)
+
+
+def zero_opt_state_rows(opt_state: Any, row_mask: jnp.ndarray,
+                        capacity: int) -> Any:
+    """Zero Adam moments (mu/nu) for slots where row_mask is True.
+
+    The functional analogue of the reference's
+    `replace_tensors_to_optimizers_` zeroing exp_avg/exp_avg_sq for replaced
+    rows. Applies to every optimizer-state leaf whose leading dim == capacity.
+    """
+    keep = (~row_mask).astype(jnp.float32)
+
+    def fix(leaf):
+        if isinstance(leaf, jnp.ndarray) and leaf.ndim >= 1 \
+                and leaf.shape[0] == capacity and jnp.issubdtype(
+                    leaf.dtype, jnp.floating):
+            return leaf * keep.reshape((capacity,) + (1,) * (leaf.ndim - 1))
+        return leaf
+
+    return jax.tree.map(fix, opt_state)
