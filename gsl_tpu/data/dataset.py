@@ -1,0 +1,107 @@
+"""Image loading + in-RAM cached data loader.
+
+TPU analogue of the reference Dataset/CacheDataLoader
+(/root/reference/internal/dataset.py:54-305): images are decoded once to
+uint8 and cached host-side; the loader yields (camera, image[, mask]) with
+per-epoch shuffling. TPU input is tiny (one image per step), so a simple
+prefetch-free loop suffices; `async_prefetch` adds a one-element lookahead
+thread for overlap with device compute.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from .cameras import Cameras
+from .dataparsers.dataparser import ImageSet
+
+
+def load_image(path: str, background: Optional[np.ndarray] = None
+               ) -> np.ndarray:
+    """Decode to float32 HWC in [0,1]; RGBA alpha-blended onto background
+    (reference dataset.py blender handling)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im)
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = np.repeat(arr[..., None], 3, axis=-1)
+    if arr.shape[-1] == 4:
+        rgb, a = arr[..., :3], arr[..., 3:4]
+        bg = background if background is not None else np.zeros(3, np.float32)
+        arr = rgb * a + bg[None, None, :] * (1.0 - a)
+    return arr[..., :3]
+
+
+class CachedDataset:
+    """uint8 in-RAM cache of an ImageSet."""
+
+    def __init__(self, image_set: ImageSet,
+                 background: Optional[np.ndarray] = None):
+        self.image_set = image_set
+        self.background = background
+        self._cache = {}
+
+    def __len__(self):
+        return len(self.image_set)
+
+    def get(self, i: int) -> Tuple[Cameras, str, np.ndarray]:
+        if i not in self._cache:
+            img = load_image(self.image_set.image_paths[i], self.background)
+            self._cache[i] = (img * 255.0 + 0.5).astype(np.uint8)
+        img = self._cache[i].astype(np.float32) / 255.0
+        return (self.image_set.cameras[i], self.image_set.image_names[i],
+                img)
+
+
+class DataLoader:
+    """Infinite shuffled iterator with optional background prefetch."""
+
+    def __init__(self, dataset: CachedDataset, shuffle: bool = True,
+                 seed: int = 0, async_prefetch: bool = True,
+                 rank: int = 0, world_size: int = 1):
+        self.dataset = dataset
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed + rank)
+        self.rank = rank
+        self.world_size = world_size
+        self.async_prefetch = async_prefetch
+
+    def _indices(self):
+        idx = np.arange(len(self.dataset))
+        # per-rank disjoint slices (reference --data.distributed semantics,
+        # dataset.py:550)
+        if self.world_size > 1:
+            idx = idx[self.rank::self.world_size]
+        while True:
+            order = self.rng.permutation(idx) if self.shuffle else idx
+            yield from order
+
+    def __iter__(self) -> Iterator[Tuple[Cameras, str, np.ndarray]]:
+        gen = self._indices()
+        if not self.async_prefetch:
+            for i in gen:
+                yield self.dataset.get(int(i))
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        stop = threading.Event()
+
+        def worker():
+            for i in gen:
+                if stop.is_set():
+                    return
+                q.put(self.dataset.get(int(i)))
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()

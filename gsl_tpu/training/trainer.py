@@ -1,0 +1,199 @@
+"""Training orchestrator: the TPU-native analogue of the reference
+`GaussianSplatting` LightningModule training loop
+(/root/reference/internal/gaussian_splatting.py:329-470), re-shaped as
+jitted pure functions over an explicit TrainState:
+
+- `train_step`: forward (render) -> L1+SSIM loss -> grads (including the
+  means2d tap for densification stats) -> per-property Adam updates.
+- `density_step`: clone/split/prune + opacity reset at the reference
+  schedule, as a second jitted function (shape-static capacity).
+- the Python loop around them handles data feeding, capacity growth
+  (recompile boundary), logging, and checkpointing.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.cameras import Cameras
+from ..models.gaussian import (GaussianParams, GaussianState,
+                               VanillaGaussianConfig, active_sh_degree,
+                               grow_capacity)
+from ..renderers.tile_renderer import (TileRenderer, TileRendererConfig,
+                                       viewspace_grad_scale)
+from .density import (DensityControlState, VanillaDensityControllerConfig,
+                      densify_and_prune, init_density_state, reset_opacities,
+                      update_stats)
+from .metrics import VanillaMetricsConfig, train_loss, psnr
+from .optimizers import build_gaussian_optimizer
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: GaussianParams
+    alive: jnp.ndarray
+    opt_state: Any
+    density: DensityControlState
+    step: jnp.ndarray  # int32
+
+    @property
+    def gaussians(self) -> GaussianState:
+        return GaussianState(params=self.params, alive=self.alive)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    max_steps: int = 30_000
+    background_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    sh_degree_interval: int = 1000
+
+
+class Trainer:
+    """Composes model/renderer/density/metrics configs (the reference's
+    component seams) into jitted step functions."""
+
+    def __init__(
+        self,
+        model: VanillaGaussianConfig = None,
+        renderer: TileRendererConfig = None,
+        density: VanillaDensityControllerConfig = None,
+        metrics: VanillaMetricsConfig = None,
+        config: TrainerConfig = None,
+    ):
+        self.model = model or VanillaGaussianConfig()
+        self.renderer_cfg = renderer or TileRendererConfig()
+        self.renderer = self.renderer_cfg.instantiate()
+        self.density_cfg = density or VanillaDensityControllerConfig()
+        self.metrics_cfg = metrics or VanillaMetricsConfig()
+        self.config = config or TrainerConfig()
+        self.cameras_extent: float = 1.0
+        self.prune_extent: float = 1.0
+        self.tx = None
+
+    # ---- setup ----
+    def setup(self, gaussians: GaussianState, cameras_extent: float,
+              prune_extent: Optional[float] = None) -> TrainState:
+        self.cameras_extent = float(cameras_extent) * \
+            self.density_cfg.camera_extent_factor
+        self.prune_extent = float(
+            prune_extent if prune_extent is not None else cameras_extent
+        ) * self.density_cfg.camera_extent_factor
+        if self.density_cfg.scene_extent_override > 0:
+            self.cameras_extent = self.density_cfg.scene_extent_override
+            self.prune_extent = self.density_cfg.scene_extent_override
+        self.tx = build_gaussian_optimizer(
+            self.model.optimization, spatial_lr_scale=self.cameras_extent)
+        opt_state = self.tx.init(gaussians.params)
+        return TrainState(
+            params=gaussians.params,
+            alive=gaussians.alive,
+            opt_state=opt_state,
+            density=init_density_state(gaussians.capacity),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ---- jitted step functions ----
+    @functools.partial(jax.jit, static_argnames=(
+        "self", "img_height", "img_width", "sh_degree"))
+    def train_step(self, state: TrainState, camera: Cameras,
+                   gt_image: jnp.ndarray, img_height: int, img_width: int,
+                   sh_degree: int, bg_color: jnp.ndarray,
+                   mask: Optional[jnp.ndarray] = None):
+        tap0 = jnp.zeros((state.params.capacity, 2), jnp.float32)
+
+        def loss_fn(params, tap):
+            gstate = GaussianState(params=params, alive=state.alive)
+            out = self.renderer.forward(
+                gstate, camera, img_height, img_width, bg_color, sh_degree,
+                means2d_tap=tap)
+            loss, scalars = train_loss(
+                out.render, gt_image, mask,
+                lambda_dssim=self.metrics_cfg.lambda_dssim,
+                rgb_diff_loss=self.metrics_cfg.rgb_diff_loss)
+            return loss, (scalars, out.radii, out.n_dropped)
+
+        (loss, (scalars, radii, n_dropped)), (pgrads, tap_grad) = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, tap0))
+
+        gscale = viewspace_grad_scale(
+            img_width, img_height,
+            self.renderer_cfg.max_viewspace_grad_scale)
+        density = update_stats(state.density, tap_grad, radii, gscale)
+
+        updates, opt_state = self.tx.update(
+            pgrads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+
+        new_state = TrainState(
+            params=params, alive=state.alive, opt_state=opt_state,
+            density=density, step=state.step + 1)
+        scalars = dict(scalars, n_dropped_isects=n_dropped)
+        return new_state, scalars
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def density_step(self, state: TrainState, key: jax.Array,
+                     use_size_prune: jnp.ndarray):
+        gstate, opt_state, density, n_trunc = densify_and_prune(
+            key, state.gaussians, state.opt_state, state.density,
+            self.density_cfg, self.cameras_extent, self.prune_extent,
+            use_size_prune)
+        return TrainState(
+            params=gstate.params, alive=gstate.alive, opt_state=opt_state,
+            density=density, step=state.step), n_trunc
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def opacity_reset_step(self, state: TrainState):
+        gstate, opt_state = reset_opacities(
+            state.gaussians, state.opt_state,
+            self.density_cfg.opacity_reset_value)
+        return state.replace(params=gstate.params, opt_state=opt_state)
+
+    @functools.partial(jax.jit, static_argnames=(
+        "self", "img_height", "img_width", "sh_degree"))
+    def eval_step(self, state: TrainState, camera: Cameras,
+                  gt_image: jnp.ndarray, img_height: int, img_width: int,
+                  sh_degree: int, bg_color: jnp.ndarray):
+        out = self.renderer.forward(
+            state.gaussians, camera, img_height, img_width, bg_color,
+            sh_degree)
+        return out.render, {"psnr": psnr(out.render, gt_image)}
+
+    # ---- python-side schedule (reference after_backward schedule) ----
+    def maybe_density_ops(self, state: TrainState, key: jax.Array,
+                          step: int) -> TrainState:
+        """Run densify/prune + opacity reset at the reference schedule.
+        `step` is the 1-based global step (reference gaussian_splatting.py:333
+        'must start from 1')."""
+        cfg = self.density_cfg
+        if step < cfg.densify_until_iter:
+            if (step > cfg.densify_from_iter
+                    and step % cfg.densification_interval == 0):
+                state, n_trunc = self.density_step(
+                    state, key,
+                    jnp.asarray(step > cfg.opacity_reset_interval))
+                if int(n_trunc) > 0:
+                    # capacity exhausted: grow 2x host-side (recompile)
+                    gstate = grow_capacity(
+                        state.gaussians, 2 * state.params.capacity)
+                    opt_state = self.tx.init(gstate.params)
+                    state = TrainState(
+                        params=gstate.params, alive=gstate.alive,
+                        opt_state=opt_state,
+                        density=init_density_state(gstate.capacity),
+                        step=state.step)
+            white_bg = all(c == 1.0 for c in self.config.background_color)
+            if (step % cfg.opacity_reset_interval == 0
+                    or (white_bg and step == cfg.densify_from_iter)):
+                state = self.opacity_reset_step(state)
+        return state
+
+    def sh_degree_at(self, step: int) -> int:
+        return min(step // self.config.sh_degree_interval,
+                   self.model.sh_degree)

@@ -1,0 +1,186 @@
+"""End-to-end training smoke + density controller mechanics."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gsl_tpu.models.gaussian import (GaussianParams, GaussianState,
+                                     VanillaGaussianConfig, inverse_sigmoid)
+from gsl_tpu.renderers.tile_renderer import TileRendererConfig
+from gsl_tpu.training.trainer import Trainer, TrainerConfig
+from gsl_tpu.training.density import (VanillaDensityControllerConfig,
+                                      densify_and_prune, init_density_state,
+                                      reset_opacities)
+from gsl_tpu.training.metrics import psnr
+from gsl_tpu.training.optimizers import build_gaussian_optimizer
+from gsl_tpu.models.gaussian import OptimizationConfig
+
+from scene_utils import random_scene, simple_camera
+
+W, H = 64, 48
+
+
+def _make_gt_views(n_gauss=150, n_views=4, seed=11):
+    """Render GT images from a known gaussian scene."""
+    means, scales, quats, opac, colors = random_scene(n_gauss, seed)
+    cfg = VanillaGaussianConfig(sh_degree=0)
+    state = cfg.init_from_pcd(np.asarray(means), np.asarray(colors),
+                              capacity=256)
+    # overwrite with the random scene's scales/opacities for richer targets
+    params = state.params.replace(
+        scales=state.params.scales.at[:n_gauss].set(jnp.log(scales)),
+        opacities=state.params.opacities.at[:n_gauss, 0].set(
+            inverse_sigmoid(opac)),
+        rotations=state.params.rotations.at[:n_gauss].set(quats),
+    )
+    state = GaussianState(params=params, alive=state.alive)
+
+    renderer = TileRendererConfig(max_per_tile=256, chunk=32,
+                                  min_isect_capacity=4096).instantiate()
+    cams, imgs = [], []
+    bg = jnp.zeros(3, jnp.float32)
+    for i in range(n_views):
+        cam = simple_camera(W, H)
+        # shift camera along x to vary views
+        cam = cam.replace(T=cam.T + jnp.array([0.3 * i - 0.45, 0.0, 0.0]))
+        out = renderer.forward(state, cam, H, W, bg, sh_degree=0)
+        cams.append(cam)
+        imgs.append(out.render)
+    return state, cams, imgs
+
+
+def test_training_improves_psnr():
+    gt_state, cams, imgs = _make_gt_views()
+    # init from the GT point cloud but gray colors / default opacity
+    xyz = np.asarray(gt_state.params.means[:150])
+    rgb = np.full((150, 3), 0.5, np.float32)
+    model_cfg = VanillaGaussianConfig(sh_degree=0)
+    init_state = model_cfg.init_from_pcd(xyz, rgb, capacity=256)
+
+    trainer = Trainer(
+        model=model_cfg,
+        renderer=TileRendererConfig(max_per_tile=256, chunk=32,
+                                    min_isect_capacity=4096),
+        density=VanillaDensityControllerConfig(),
+        config=TrainerConfig(max_steps=60),
+    )
+    state = trainer.setup(init_state, cameras_extent=1.0)
+    bg = jnp.zeros(3, jnp.float32)
+
+    def mean_psnr(state):
+        vals = []
+        for cam, img in zip(cams, imgs):
+            _, m = trainer.eval_step(state, cam, img, H, W, 0, bg)
+            vals.append(float(m["psnr"]))
+        return np.mean(vals)
+
+    psnr_before = mean_psnr(state)
+    for step in range(1, 61):
+        cam = cams[step % len(cams)]
+        img = imgs[step % len(cams)]
+        state, scalars = trainer.train_step(state, cam, img, H, W, 0, bg)
+    psnr_after = mean_psnr(state)
+    assert psnr_after > psnr_before + 2.0, (psnr_before, psnr_after)
+    assert np.isfinite(float(scalars["loss"]))
+
+
+def _tiny_state(cap=16, n=4):
+    cfg = VanillaGaussianConfig(sh_degree=1)
+    xyz = np.array([[0, 0, 2], [0.5, 0, 3], [-0.5, 0, 4], [0, 0.5, 5]],
+                   np.float32)
+    rgb = np.full((n, 3), 0.5, np.float32)
+    return cfg, cfg.init_from_pcd(xyz, rgb, capacity=cap)
+
+
+def test_densify_clone_and_split():
+    cfg, state = _tiny_state()
+    cap = state.capacity
+    extent = 1.0
+    dcfg = VanillaDensityControllerConfig()
+    # gaussian 0: small scale + high grad -> clone
+    # gaussian 1: big scale + high grad -> split
+    params = state.params.replace(
+        scales=state.params.scales
+        .at[0].set(jnp.log(0.001))          # small: <= 0.01 * extent
+        .at[1].set(jnp.log(0.5)))           # big
+    state = GaussianState(params=params, alive=state.alive)
+
+    tx = build_gaussian_optimizer(OptimizationConfig(), 1.0)
+    opt_state = tx.init(state.params)
+    dstate = init_density_state(cap)
+    dstate = dstate.replace(
+        grad_accum=dstate.grad_accum.at[0].set(1.0).at[1].set(1.0),
+        denom=dstate.denom.at[:4].set(1.0),
+    )
+    new_state, new_opt, new_d, n_trunc = densify_and_prune(
+        jax.random.PRNGKey(0), state, opt_state, dstate, dcfg,
+        extent, extent, use_size_prune=jnp.asarray(False))
+    # 4 alive + 1 clone + 1 second split child = 6
+    assert int(new_state.n_alive) == 6
+    assert int(n_trunc) == 0
+    # clone of gaussian 0 keeps its mean; appears in a free slot
+    new_means = np.asarray(new_state.params.means)
+    alive = np.asarray(new_state.alive)
+    clone_rows = [i for i in range(4, 16)
+                  if alive[i] and np.allclose(new_means[i], [0, 0, 2])]
+    assert len(clone_rows) == 1
+    # split: original (row 1) moved and scale shrunk by 1.6
+    assert not np.allclose(new_means[1], [0.5, 0, 3])
+    np.testing.assert_allclose(
+        float(jnp.exp(new_state.params.scales[1, 0])), 0.5 / 1.6, rtol=1e-5)
+    # stats reset
+    assert float(jnp.sum(new_d.grad_accum)) == 0.0
+
+
+def test_prune_low_opacity_and_size():
+    cfg, state = _tiny_state()
+    cap = state.capacity
+    dcfg = VanillaDensityControllerConfig()
+    params = state.params.replace(
+        opacities=state.params.opacities.at[2, 0].set(
+            inverse_sigmoid(0.001)),      # below cull threshold
+        scales=state.params.scales.at[3].set(jnp.log(10.0)),  # huge
+    )
+    state = GaussianState(params=params, alive=state.alive)
+    tx = build_gaussian_optimizer(OptimizationConfig(), 1.0)
+    opt_state = tx.init(state.params)
+    dstate = init_density_state(cap)
+
+    # without size prune: only the transparent one goes
+    s1, *_ = densify_and_prune(jax.random.PRNGKey(0), state, opt_state,
+                               dstate, dcfg, 1.0, 50.0,
+                               use_size_prune=jnp.asarray(False))
+    assert int(s1.n_alive) == 3
+    # with size prune (threshold 0.1 * 50 = 5): the scale-10 one goes too
+    s2, *_ = densify_and_prune(jax.random.PRNGKey(0), state, opt_state,
+                               dstate, dcfg, 1.0, 50.0,
+                               use_size_prune=jnp.asarray(True))
+    assert int(s2.n_alive) == 2
+
+
+def test_opacity_reset():
+    cfg, state = _tiny_state()
+    params = state.params.replace(
+        opacities=state.params.opacities.at[0, 0].set(inverse_sigmoid(0.9)))
+    state = GaussianState(params=params, alive=state.alive)
+    tx = build_gaussian_optimizer(OptimizationConfig(), 1.0)
+    opt_state = tx.init(state.params)
+    new_state, _ = reset_opacities(state, opt_state, 0.01)
+    op = np.asarray(jax.nn.sigmoid(new_state.params.opacities[:, 0]))
+    assert np.all(op[:4] <= 0.01 + 1e-6)
+
+
+def test_optimizer_per_property_lrs():
+    """means move with exp-decayed lr, shs_rest with shs_dc/20."""
+    import optax
+    cfg, state = _tiny_state()
+    tx = build_gaussian_optimizer(OptimizationConfig(), spatial_lr_scale=2.0)
+    opt_state = tx.init(state.params)
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    updates, _ = tx.update(grads, opt_state, state.params)
+    # step 0 adam update magnitude ~= lr
+    np.testing.assert_allclose(
+        float(jnp.abs(updates.means[0, 0])), 1.6e-4 * 2.0, rtol=1e-3)
+    np.testing.assert_allclose(
+        float(jnp.abs(updates.shs_dc[0, 0, 0])), 2.5e-3, rtol=1e-3)
+    np.testing.assert_allclose(
+        float(jnp.abs(updates.shs_rest[0, 0, 0])), 2.5e-3 / 20.0, rtol=1e-3)
