@@ -1,0 +1,74 @@
+"""Headline benchmark: pixels/s/chip, forward+backward, 1M Gaussians.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline normalizes against 1.0e8 pixels/s fwd+bwd — the reference
+CUDA stack's (gsplat `rasterize_to_pixels` + `fully_fused_projection`,
+/root/reference/internal/renderers/gsplat_v1_renderer.py) published-class
+throughput at 1M Gaussians / ~1080p on a modern datacenter GPU
+(~50 train iters/s x 2.1MP). The reference repo itself publishes no numeric
+tables (SURVEY.md §6), so this constant is the stand-in baseline.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PIXELS_PER_S = 1.0e8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_state
+    from gsl_tpu.data.cameras import make_camera
+    from gsl_tpu.models.gaussian import GaussianState
+    from gsl_tpu.renderers.tile_renderer import TileRendererConfig
+    from gsl_tpu.training.metrics import train_loss
+
+    H, W = 1088, 1920
+    n, cap = 1_000_000, 1 << 20
+    sh_degree = 3
+    state = _synthetic_state(n, cap, sh_degree=sh_degree, seed=0)
+    cam = make_camera(R=np.eye(3), T=np.zeros(3), fx=1600.0, fy=1600.0,
+                      cx=W / 2, cy=H / 2, width=W, height=H)
+    renderer = TileRendererConfig(
+        max_per_tile=4096, chunk=128, min_isect_capacity=1 << 23,
+    ).instantiate()
+    bg = jnp.zeros(3, jnp.float32)
+    target = jnp.full((H, W, 3), 0.4, jnp.float32)
+
+    def loss_fn(params, alive):
+        out = renderer.forward(
+            GaussianState(params=params, alive=alive), cam, H, W, bg,
+            sh_degree)
+        loss, _ = train_loss(out.render, target)
+        return loss
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+
+    # warmup / compile
+    loss, grads = step(state.params, state.alive)
+    jax.block_until_ready(grads)
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = step(state.params, state.alive)
+    jax.block_until_ready(grads)
+    dt = (time.perf_counter() - t0) / iters
+
+    pixels_per_s = H * W / dt
+    print(json.dumps({
+        "metric": "pixels/s/chip fwd+bwd @1M gaussians 1080p",
+        "value": round(pixels_per_s, 1),
+        "unit": "pixels/s",
+        "vs_baseline": round(pixels_per_s / BASELINE_PIXELS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

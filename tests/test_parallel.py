@@ -1,0 +1,93 @@
+"""Gaussian-sharded + camera-DP training step on the 8-device CPU mesh:
+runs, and its loss/grads match a single-device reference computation."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gsl_tpu.models.gaussian import (GaussianState, VanillaGaussianConfig,
+                                     OptimizationConfig, inverse_sigmoid)
+from gsl_tpu.parallel.gaussian_sharded import (make_mesh, make_mp_train_step,
+                                               shard_params)
+from gsl_tpu.renderers.tile_renderer import TileRendererConfig
+from gsl_tpu.training.metrics import train_loss
+from gsl_tpu.training.optimizers import build_gaussian_optimizer
+
+from scene_utils import random_scene, simple_camera
+
+W = H = 32
+CAP = 512
+N = 150
+
+
+def _setup():
+    means, scales, quats, opac, colors = random_scene(N, seed=4, spread=0.6)
+    cfg = VanillaGaussianConfig(sh_degree=0)
+    state = cfg.init_from_pcd(np.asarray(means), np.asarray(colors),
+                              capacity=CAP)
+    params = state.params.replace(
+        opacities=state.params.opacities.at[:N, 0].set(
+            inverse_sigmoid(opac)))
+    state = GaussianState(params=params, alive=state.alive)
+
+    cams = []
+    for i in range(8):
+        cam = simple_camera(W, H, f=40.0)
+        cam = cam.replace(T=cam.T + jnp.array([0.2 * i - 0.7, 0.0, 0.0]))
+        cams.append(cam)
+    cam_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+
+    renderer = TileRendererConfig(max_per_tile=256, chunk=32,
+                                  min_isect_capacity=4096).instantiate()
+    bg = jnp.zeros(3, jnp.float32)
+    gts = jnp.stack([
+        renderer.forward(state, c, H, W, bg, 0).render for c in cams])
+    return state, cam_batch, cams, gts, bg
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mp_step_matches_single_device():
+    state, cam_batch, cams, gts, bg = _setup()
+    mesh = make_mesh(8, dp=2, mp=4)
+    tx = build_gaussian_optimizer(OptimizationConfig(), 1.0)
+    opt_state = tx.init(state.params)
+
+    step = make_mp_train_step(
+        mesh, tx, H, W, sh_degree=0, isect_capacity=4096,
+        max_per_tile=256, chunk=32)
+    params_s, alive_s, opt_s = shard_params(mesh, state.params, state.alive,
+                                            opt_state)
+    # perturb gt so grads are nonzero
+    gts_noisy = jnp.clip(gts + 0.05, 0.0, 1.0)
+    new_params, new_opt, loss_mp, tap_grad, radii = step(
+        params_s, alive_s, opt_s, cam_batch, gts_noisy, bg)
+
+    # ---- single-device reference: mean loss over the same 8 cameras ----
+    renderer = TileRendererConfig(max_per_tile=256, chunk=32,
+                                  min_isect_capacity=4096).instantiate()
+
+    def ref_loss(params):
+        total = 0.0
+        for c, g in zip(cams, gts_noisy):
+            out = renderer.forward(
+                GaussianState(params=params, alive=state.alive),
+                c, H, W, bg, 0)
+            l, _ = train_loss(out.render, g)
+            total = total + l
+        return total / len(cams)
+
+    loss_ref, grads_ref = jax.value_and_grad(ref_loss)(state.params)
+    np.testing.assert_allclose(float(loss_mp), float(loss_ref), rtol=1e-5)
+    assert jax.device_get(tap_grad).shape == (CAP, 2)
+
+    # compare the applied Adam update (a deterministic function of grads)
+    upd_mp = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b),
+                          jax.device_get(new_params),
+                          jax.device_get(params_s))
+    tx2 = build_gaussian_optimizer(OptimizationConfig(), 1.0)
+    opt2 = tx2.init(state.params)
+    upd_ref, _ = tx2.update(grads_ref, opt2, state.params)
+    for name in ("means", "scales", "opacities", "shs_dc", "rotations"):
+        np.testing.assert_allclose(
+            getattr(upd_mp, name), np.asarray(getattr(upd_ref, name)),
+            rtol=2e-3, atol=5e-6, err_msg=f"update mismatch: {name}")
