@@ -178,6 +178,7 @@ def make_mp_train_step(
         device_step, mesh=mesh,
         in_specs=(pspec, pspec, cam_spec, cam_spec, P()),
         out_specs=(pspec, P(), pspec, pspec),
+        check_vma=False,
     )
 
     def step(params, alive, opt_state, cams, gts, bg):
