@@ -1,0 +1,573 @@
+"""Pallas TPU rasterizer: depth-sorted alpha compositing, forward + backward.
+
+TPU-native replacement for gsplat's `rasterize_to_pixels` CUDA kernels
+(/root/reference/internal/renderers/gsplat_v1_renderer.py:568-640), with the
+exact compositing semantics of `rasterize_reference.rasterize_oracle`.
+
+Design (see SURVEY.md §7 "hard parts"):
+
+1. `isect_encode_padded` (XLA): after the (tile, depth) sort, each tile's
+   intersection range is padded to a multiple of CHUNK and packed into a
+   contiguous stream; padded slots point at a dummy zero-opacity gaussian, so
+   the kernel needs no per-slot validity masks. A chunk schedule
+   (tile id / first / last / position) drives the kernel grid.
+
+2. Forward kernel: grid = (n_chunks,). The payload stream is field-major
+   [8, capacity_padded] so each block [8, CHUNK] arrives lane-contiguous and
+   Pallas double-buffers the DMA automatically. Per chunk, the sequential
+   per-pixel transmittance recurrence is closed into matmuls on the MXU:
+     lf = log1p(-alpha)                  [P, K]
+     S_exc = lf @ U (strictly upper-tri) -> exclusive cumsum along K
+     T_exc = T_carry * exp(S_exc)
+     acc  += (comp * alpha * T_exc) @ colors^T
+   The CUDA early-break (T <= 1e-4) is reproduced exactly and the break
+   index i_stop is recorded per pixel for the backward pass. Accumulators
+   live in VMEM scratch across the (sequential) grid; outputs flush on each
+   tile's last chunk.
+
+3. Backward kernel: reverse chunk walk. T is reconstructed back-to-front by
+   the division trick (composited factors only, keyed off i_stop); suffix
+   sums close into triangular matmuls the same way. Per-slot gradients are
+   written to an output stream (no atomics) and segment-summed by gaussian
+   id in XLA afterwards — absgrad (AbsGS) falls out as a second segment-sum
+   of |slot grad| at identical granularity to the CUDA atomics version.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .projection import Projections, tile_rect
+from .rasterize_reference import (ALPHA_THRESHOLD, MAX_ALPHA,
+                                  MIN_TRANSMITTANCE)
+
+BIG_I32 = 2 ** 30  # python int: jnp constants would be captured as tracers
+
+
+class PaddedIsects(NamedTuple):
+    padded_ids: jnp.ndarray      # [capacity_padded] int32, dummy = n_gauss
+    tile_of_chunk: jnp.ndarray   # [G] int32 (safe: trailing repeat last)
+    first_flag: jnp.ndarray      # [G] int32 1/0
+    last_flag: jnp.ndarray       # [G] int32 1/0
+    valid_flag: jnp.ndarray      # [G] int32 1/0
+    chunk_in_tile: jnp.ndarray   # [G] int32
+    tile_counts: jnp.ndarray     # [n_tiles] int32 (unpadded)
+    n_isects: jnp.ndarray        # scalar
+    n_dropped: jnp.ndarray       # scalar
+
+
+def isect_encode_padded(
+    projections: Projections,
+    img_height: int,
+    img_width: int,
+    tile_size: int,
+    capacity: int,
+    chunk: int,
+) -> PaddedIsects:
+    tiles_x = -(-img_width // tile_size)
+    tiles_y = -(-img_height // tile_size)
+    n_tiles = tiles_x * tiles_y
+    G = capacity // chunk + n_tiles          # static chunk-slot bound
+    capacity_padded = G * chunk
+
+    rect_min, rect_max = tile_rect(projections, tile_size, tiles_x, tiles_y)
+    rect_w = rect_max[:, 0] - rect_min[:, 0]
+    rect_h = rect_max[:, 1] - rect_min[:, 1]
+    num_hit = (rect_w * rect_h).astype(jnp.int32)
+    n_gauss = num_hit.shape[0]
+
+    cum = jnp.cumsum(num_hit)
+    total = cum[-1]
+    offsets = cum - num_hit
+
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    g = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
+    valid = slots < jnp.minimum(total, capacity)
+    g_safe = jnp.minimum(g, n_gauss - 1)
+    local = slots - offsets[g_safe]
+    w = jnp.maximum(rect_w[g_safe], 1)
+    t_y = rect_min[g_safe, 1] + local // w
+    t_x = rect_min[g_safe, 0] + local % w
+    tile_ids = jnp.where(valid, t_y * tiles_x + t_x, n_tiles).astype(jnp.int32)
+    depths = jnp.where(valid, projections.depths[g_safe], jnp.inf)
+    gauss_ids = jnp.where(valid, g_safe, n_gauss).astype(jnp.int32)
+
+    sorted_tiles, _, sorted_gauss = lax.sort(
+        (tile_ids, depths.astype(jnp.float32), gauss_ids), num_keys=2)
+
+    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
+    tile_starts = jnp.searchsorted(sorted_tiles, tile_range,
+                                   side="left").astype(jnp.int32)
+    tile_ends = jnp.searchsorted(sorted_tiles, tile_range,
+                                 side="right").astype(jnp.int32)
+    counts = tile_ends - tile_starts
+
+    # --- padded layout ---
+    chunks_per_tile = -(-counts // chunk)            # ceil
+    padded_counts = chunks_per_tile * chunk
+    cum_padded = jnp.cumsum(padded_counts)
+    padded_starts = cum_padded - padded_counts
+
+    s = jnp.arange(capacity, dtype=jnp.int32)
+    st = jnp.minimum(sorted_tiles, n_tiles - 1)
+    newpos = padded_starts[st] + (s - tile_starts[st])
+    newpos = jnp.where(sorted_tiles < n_tiles, newpos, capacity_padded)
+    padded_ids = jnp.full((capacity_padded,), n_gauss, jnp.int32)
+    padded_ids = padded_ids.at[newpos].set(sorted_gauss, mode="drop")
+
+    # --- chunk schedule ---
+    cum_chunks = jnp.cumsum(chunks_per_tile)
+    n_real_chunks = cum_chunks[-1]
+    k = jnp.arange(G, dtype=jnp.int32)
+    valid_chunk = k < n_real_chunks
+    toc = jnp.searchsorted(cum_chunks, k, side="right").astype(jnp.int32)
+    toc_safe = jnp.minimum(toc, n_tiles - 1)
+    # trailing chunks: repeat the last real tile so output revisiting is safe
+    last_real_tile = jnp.where(
+        n_real_chunks > 0,
+        jnp.searchsorted(cum_chunks, jnp.maximum(n_real_chunks - 1, 0),
+                         side="right").astype(jnp.int32), 0)
+    tile_of_chunk = jnp.where(valid_chunk, toc_safe,
+                              jnp.minimum(last_real_tile, n_tiles - 1))
+    chunks_before = cum_chunks[tile_of_chunk] - chunks_per_tile[tile_of_chunk]
+    chunk_in_tile = jnp.where(valid_chunk, k - chunks_before, 0)
+    first_flag = (valid_chunk & (chunk_in_tile == 0)).astype(jnp.int32)
+    last_flag = (valid_chunk
+                 & (k == cum_chunks[tile_of_chunk] - 1)).astype(jnp.int32)
+
+    return PaddedIsects(
+        padded_ids=padded_ids,
+        tile_of_chunk=tile_of_chunk,
+        first_flag=first_flag,
+        last_flag=last_flag,
+        valid_flag=valid_chunk.astype(jnp.int32),
+        chunk_in_tile=chunk_in_tile.astype(jnp.int32),
+        tile_counts=counts,
+        n_isects=jnp.minimum(total, capacity),
+        n_dropped=jnp.maximum(total - capacity, 0),
+    )
+
+
+def _gather_streams(means2d, conics, opacities, channels, padded_ids):
+    """Field-major payload streams with a trailing dummy zero row."""
+    n, c = channels.shape
+    zrow = jnp.zeros((1,), means2d.dtype)
+    geom = jnp.stack([
+        jnp.concatenate([means2d[:, 0], zrow]),
+        jnp.concatenate([means2d[:, 1], zrow]),
+        jnp.concatenate([conics[:, 0], zrow]),
+        jnp.concatenate([conics[:, 1], zrow]),
+        jnp.concatenate([conics[:, 2], zrow]),
+        jnp.concatenate([opacities, zrow]),
+        jnp.zeros((n + 1,), means2d.dtype),
+        jnp.zeros((n + 1,), means2d.dtype),
+    ], axis=0)                                        # [8, n+1]
+    colors = jnp.concatenate(
+        [channels, jnp.zeros((1, c), channels.dtype)], axis=0).T  # [c, n+1]
+    geom_stream = jnp.take(geom, padded_ids, axis=1)
+    color_stream = jnp.take(colors, padded_ids, axis=1)
+    return geom_stream, color_stream
+
+
+def _pixel_coords(tile, tiles_x, tile_size):
+    """Per-tile pixel centers as [P, 1] sublane vectors."""
+    P = tile_size * tile_size
+    p = lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    tx = tile % tiles_x
+    ty = tile // tiles_x
+    px = (tx * tile_size + p % tile_size).astype(jnp.float32) + 0.5
+    py = (ty * tile_size + p // tile_size).astype(jnp.float32) + 0.5
+    return px, py
+
+
+def _alphas(geom, px, py):
+    """geom [8, K] block + pixel coords [P, 1] -> alpha, keep, sigma-aux."""
+    x = geom[0:1, :]       # [1, K] -> broadcasts over P sublanes
+    y = geom[1:2, :]
+    ca = geom[2:3, :]
+    cb = geom[3:4, :]
+    cc = geom[4:5, :]
+    op = geom[5:6, :]
+    dx = x - px            # [P, K]
+    dy = y - py
+    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    raw = op * jnp.exp(-sigma)
+    alpha = jnp.minimum(MAX_ALPHA, raw)
+    keep = (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD)
+    a = jnp.where(keep, alpha, 0.0)
+    return a, keep, raw, dx, dy, ca[0], cb[0], cc[0], op[0], sigma
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(
+    # scalar prefetch
+    tile_ref, first_ref, last_ref, valid_ref, cit_ref,
+    # inputs
+    geom_ref, color_ref,
+    # outputs
+    out_ref, tfin_ref, istop_ref,
+    # scratch
+    acc, T, istop,
+    *, tiles_x: int, tile_size: int, chunk: int, n_channels: int,
+):
+    k = pl.program_id(0)
+    tile = tile_ref[k]
+    P = tile_size * tile_size
+
+    @pl.when(first_ref[k] == 1)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+        T[...] = jnp.ones_like(T)
+        istop[...] = jnp.full_like(istop, BIG_I32)
+
+    @pl.when(valid_ref[k] == 1)
+    def _():
+        px, py = _pixel_coords(tile, tiles_x, tile_size)
+        a, *_ = _alphas(geom_ref[...], px, py)
+
+        base = cit_ref[k] * chunk
+        idx = base + lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
+        not_done = idx < istop[...]
+        a = jnp.where(not_done, a, 0.0)
+
+        lf = jnp.log1p(-a)
+        # exclusive cumsum along K via strictly-lower-triangular matmul:
+        # S_exc[p, j] = sum_{i<j} lf[p, i]
+        tri = (lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+               < lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1))
+        S_exc = jnp.dot(lf, tri.astype(lf.dtype),
+                        preferred_element_type=jnp.float32)
+        T_exc = T[...] * jnp.exp(S_exc)
+        T_inc = T_exc * (1.0 - a)
+
+        comp = (T_inc > MIN_TRANSMITTANCE) & (a > 0.0)
+        w = jnp.where(comp, a * T_exc, 0.0)
+        acc[...] += jnp.dot(w, color_ref[...].T,
+                            preferred_element_type=jnp.float32)
+        lf_eff = jnp.where(comp, lf, 0.0)
+        T[...] = T[...] * jnp.exp(jnp.sum(lf_eff, axis=1, keepdims=True))
+        brk = (T_inc <= MIN_TRANSMITTANCE) & (a > 0.0)
+        first_brk = jnp.min(jnp.where(brk, idx, BIG_I32), axis=1,
+                            keepdims=True)
+        istop[...] = jnp.minimum(istop[...], first_brk)
+
+    @pl.when(last_ref[k] == 1)
+    def _():
+        out_ref[0] = acc[...]
+        tfin_ref[0] = T[...][:, 0]
+        istop_ref[0] = istop[...][:, 0]
+
+
+def _rasterize_fwd_raw(geom_stream, color_stream, isects: PaddedIsects,
+                       n_tiles: int, tiles_x: int, tile_size: int,
+                       chunk: int, interpret: bool):
+    C = color_stream.shape[0]
+    G = isects.tile_of_chunk.shape[0]
+    P = tile_size * tile_size
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((8, chunk), lambda k, *refs: (0, k)),
+            pl.BlockSpec((C, chunk), lambda k, *refs: (0, k)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, P, C), lambda k, t, f, l, v, c: (t[k], 0, 0)),
+            pl.BlockSpec((1, P), lambda k, t, f, l, v, c: (t[k], 0)),
+            pl.BlockSpec((1, P), lambda k, t, f, l, v, c: (t[k], 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((P, C), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.int32),
+        ],
+    )
+    out, tfin, istop = pl.pallas_call(
+        functools.partial(_fwd_kernel, tiles_x=tiles_x, tile_size=tile_size,
+                          chunk=chunk, n_channels=C),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, P, C), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, P), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, P), jnp.int32),
+        ],
+        interpret=interpret,
+    )(isects.tile_of_chunk, isects.first_flag, isects.last_flag,
+      isects.valid_flag, isects.chunk_in_tile, geom_stream, color_stream)
+    return out, tfin, istop
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(
+    # scalar prefetch (reversed schedule + stream positions)
+    pos_ref, tile_ref, first_rev_ref, valid_ref, cit_ref,
+    # inputs
+    geom_ref, color_ref, gout_ref, galpha_ref, tfin_ref, istop_ref,
+    # outputs
+    dgeom_ref, dcolor_ref,
+    # scratch
+    T_run, Sg, cg_gal,
+    *, tiles_x: int, tile_size: int, chunk: int, n_channels: int,
+    bg_dot_g_on: bool,
+):
+    k = pl.program_id(0)
+    tile = tile_ref[k]
+    P = tile_size * tile_size
+
+    # init per-tile carries on the first (reverse-order) chunk of the tile
+    @pl.when(first_rev_ref[k] == 1)
+    def _():
+        tf = tfin_ref[0][:, None]                     # [P, 1]
+        galpha = galpha_ref[0][:, None]
+        # Sg_init = T_final * (bg.g - galpha); bg term folded outside via
+        # galpha' (see wrapper), so here: Sg = -T_final * galpha'
+        Sg[...] = -tf * galpha
+        T_run[...] = tf
+        cg_gal[...] = jnp.zeros_like(cg_gal)
+
+    @pl.when(valid_ref[k] == 1)
+    def _():
+        px, py = _pixel_coords(tile, tiles_x, tile_size)
+        geom = geom_ref[...]
+        a, keep, raw, dx, dy, ca, cb, cc, op, sigma = _alphas(geom, px, py)
+
+        base = cit_ref[k] * chunk
+        idx = base + lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
+        comp = keep & (idx < istop_ref[0][:, None])
+        a = jnp.where(comp, a, 0.0)
+        lf = jnp.log1p(-a)
+
+        # inclusive suffix sum along K: S_inc[p, i] = sum_{j>=i} lf[p, j]
+        tri_ge = (lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+                  >= lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1))
+        S_inc = jnp.dot(lf, tri_ge.astype(lf.dtype),
+                        preferred_element_type=jnp.float32)
+        T_exc = T_run[...] * jnp.exp(-S_inc)          # T before gaussian i
+
+        g = gout_ref[0]                               # [P, C]
+        colors = color_ref[...]                       # [C, K]
+        cg = jnp.dot(g, colors, preferred_element_type=jnp.float32)  # [P, K]
+
+        q = a * T_exc * cg                            # [P, K] (comp-masked)
+        tri_gt = (lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+                  > lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1))
+        Sq_strict = jnp.dot(q, tri_gt.astype(q.dtype),
+                            preferred_element_type=jnp.float32)
+        Sg_i = Sg[...] + Sq_strict
+
+        one_minus = jnp.maximum(1.0 - a, 1e-3)
+        dalpha = jnp.where(comp, T_exc * cg - Sg_i / one_minus, 0.0)
+
+        w = a * T_exc                                 # comp-masked via a
+        # color grads [C, K] = g^T @ w (contract over pixels)
+        dcolor_ref[...] = lax.dot_general(
+            g, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        not_clamped = raw < MAX_ALPHA
+        dsigma = jnp.where(not_clamped, -a * dalpha, 0.0)
+        dop = jnp.where(not_clamped & comp, dalpha * jnp.exp(-sigma), 0.0)
+
+        ddx = dsigma * (ca * dx + cb * dy)
+        ddy = dsigma * (cc * dy + cb * dx)
+
+        zero = jnp.zeros((1, chunk), jnp.float32)
+        dgeom_ref[...] = jnp.concatenate([
+            jnp.sum(ddx, axis=0, keepdims=True),
+            jnp.sum(ddy, axis=0, keepdims=True),
+            jnp.sum(dsigma * 0.5 * dx * dx, axis=0, keepdims=True),
+            jnp.sum(dsigma * dx * dy, axis=0, keepdims=True),
+            jnp.sum(dsigma * 0.5 * dy * dy, axis=0, keepdims=True),
+            jnp.sum(dop, axis=0, keepdims=True),
+            zero, zero,
+        ], axis=0)
+
+        # update carries (walking toward the front)
+        T_run[...] = T_run[...] * jnp.exp(
+            -jnp.sum(lf, axis=1, keepdims=True))
+        Sg[...] = Sg[...] + jnp.sum(q, axis=1, keepdims=True)
+
+    @pl.when(valid_ref[k] == 0)
+    def _():
+        dgeom_ref[...] = jnp.zeros_like(dgeom_ref)
+        dcolor_ref[...] = jnp.zeros_like(dcolor_ref)
+
+
+def _rasterize_bwd_raw(geom_stream, color_stream, gout, galpha_eff, tfin,
+                       istop, isects: PaddedIsects, n_tiles: int,
+                       tiles_x: int, tile_size: int, chunk: int,
+                       interpret: bool):
+    C = color_stream.shape[0]
+    G = isects.tile_of_chunk.shape[0]
+    P = tile_size * tile_size
+
+    # reversed schedule: process chunk positions G-1 .. 0
+    pos = isects.tile_of_chunk.shape[0] - 1 - jnp.arange(G, dtype=jnp.int32)
+    tile_rev = isects.tile_of_chunk[pos]
+    valid_rev = isects.valid_flag[pos]
+    cit_rev = isects.chunk_in_tile[pos]
+    first_rev = isects.last_flag[pos]   # tile's LAST chunk comes first now
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((8, chunk),
+                         lambda k, p, t, f, v, c: (0, p[k])),
+            pl.BlockSpec((C, chunk),
+                         lambda k, p, t, f, v, c: (0, p[k])),
+            pl.BlockSpec((1, P, C),
+                         lambda k, p, t, f, v, c: (t[k], 0, 0)),
+            pl.BlockSpec((1, P), lambda k, p, t, f, v, c: (t[k], 0)),
+            pl.BlockSpec((1, P), lambda k, p, t, f, v, c: (t[k], 0)),
+            pl.BlockSpec((1, P), lambda k, p, t, f, v, c: (t[k], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, chunk),
+                         lambda k, p, t, f, v, c: (0, p[k])),
+            pl.BlockSpec((C, chunk),
+                         lambda k, p, t, f, v, c: (0, p[k])),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), jnp.float32),   # T_run
+            pltpu.VMEM((P, 1), jnp.float32),   # Sg carry
+            pltpu.VMEM((P, 1), jnp.float32),   # (reserved)
+        ],
+    )
+    dgeom, dcolor = pl.pallas_call(
+        functools.partial(_bwd_kernel, tiles_x=tiles_x, tile_size=tile_size,
+                          chunk=chunk, n_channels=C, bg_dot_g_on=False),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(geom_stream.shape, jnp.float32),
+            jax.ShapeDtypeStruct(color_stream.shape, jnp.float32),
+        ],
+        interpret=interpret,
+    )(pos, tile_rev, first_rev, valid_rev, cit_rev,
+      geom_stream, color_stream, gout, galpha_eff, tfin, istop)
+    return dgeom, dcolor
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+
+def _tiles_to_image(x_tPC, tiles_y, tiles_x, ts, H, W):
+    C = x_tPC.shape[-1]
+    img = x_tPC.reshape(tiles_y, tiles_x, ts, ts, C)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * ts, tiles_x * ts, C)
+    return img[:H, :W]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def rasterize_pallas(means2d, conics, opacities, channels, isects,
+                     img_height, img_width, tile_size=16, chunk=128,
+                     interpret=False):
+    """Rasterize with the Pallas TPU kernels.
+
+    Returns (channels_img [H, W, C] WITHOUT background blending,
+             alpha [H, W]). Apply background as
+    `img + (1 - alpha)[..., None] * bg` (differentiable in XLA).
+    """
+    out, _, _ = _fwd_impl(means2d, conics, opacities, channels, isects,
+                          img_height, img_width, tile_size, chunk, interpret)
+    return out
+
+
+def _fwd_impl(means2d, conics, opacities, channels, isects,
+              img_height, img_width, tile_size, chunk, interpret):
+    tiles_x = -(-img_width // tile_size)
+    tiles_y = -(-img_height // tile_size)
+    n_tiles = tiles_x * tiles_y
+    geom_s, color_s = _gather_streams(means2d, conics, opacities, channels,
+                                      isects.padded_ids)
+    out_t, tfin_t, istop_t = _rasterize_fwd_raw(
+        geom_s, color_s, isects, n_tiles, tiles_x, tile_size, chunk,
+        interpret)
+    # tiles with zero chunks were never written: force empty output
+    empty = (isects.tile_counts == 0)
+    out_t = jnp.where(empty[:, None, None], 0.0, out_t)
+    tfin_t = jnp.where(empty[:, None], 1.0, tfin_t)
+    ts = tile_size
+    out = _tiles_to_image(out_t, tiles_y, tiles_x, ts, img_height, img_width)
+    alpha = _tiles_to_image(1.0 - tfin_t[..., None], tiles_y, tiles_x, ts,
+                            img_height, img_width)[..., 0]
+    return (out, alpha), tfin_t, istop_t
+
+
+def _rasterize_fwd(means2d, conics, opacities, channels, isects,
+                   img_height, img_width, tile_size, chunk, interpret):
+    (out, alpha), tfin_t, istop_t = _fwd_impl(
+        means2d, conics, opacities, channels, isects, img_height, img_width,
+        tile_size, chunk, interpret)
+    res = (means2d, conics, opacities, channels, isects, tfin_t, istop_t)
+    return (out, alpha), res
+
+
+def _image_to_tiles(img, tiles_y, tiles_x, ts):
+    H, W = img.shape[:2]
+    C = img.shape[2] if img.ndim == 3 else 1
+    img = img.reshape(H, W, C)
+    pad_h = tiles_y * ts - H
+    pad_w = tiles_x * ts - W
+    img = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)))
+    img = img.reshape(tiles_y, ts, tiles_x, ts, C).transpose(0, 2, 1, 3, 4)
+    return img.reshape(tiles_y * tiles_x, ts * ts, C)
+
+
+def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
+                   res, cotangents):
+    means2d, conics, opacities, channels, isects, tfin_t, istop_t = res
+    g_out, g_alpha = cotangents
+    tiles_x = -(-img_width // tile_size)
+    tiles_y = -(-img_height // tile_size)
+    n_tiles = tiles_x * tiles_y
+    ts = tile_size
+    n = means2d.shape[0]
+
+    geom_s, color_s = _gather_streams(means2d, conics, opacities, channels,
+                                      isects.padded_ids)
+    gout_t = _image_to_tiles(g_out, tiles_y, tiles_x, ts)       # [T, P, C]
+    galpha_t = _image_to_tiles(g_alpha, tiles_y, tiles_x, ts)[..., 0]
+    # alpha = 1 - T_final: dL/dT_final = -g_alpha. Fold into the Sg carry:
+    # Sg_init = -T_final * galpha_eff with galpha_eff = g_alpha (see kernel:
+    # Sg = -tf * galpha => dalpha gets +galpha*T_final/(1-a)).
+    dgeom_s, dcolor_s = _rasterize_bwd_raw(
+        geom_s, color_s, gout_t, galpha_t, tfin_t, istop_t, isects,
+        n_tiles, tiles_x, ts, chunk, interpret)
+
+    ids = isects.padded_ids
+    seg = functools.partial(jax.ops.segment_sum, num_segments=n + 1)
+    d_means2d = jnp.stack([seg(dgeom_s[0], ids), seg(dgeom_s[1], ids)],
+                          axis=-1)[:n]
+    d_conics = jnp.stack([seg(dgeom_s[2], ids), seg(dgeom_s[3], ids),
+                          seg(dgeom_s[4], ids)], axis=-1)[:n]
+    d_opac = seg(dgeom_s[5], ids)[:n]
+    d_channels = jax.vmap(lambda row: seg(row, ids))(dcolor_s).T[:n]
+    d_isects = jax.tree.map(
+        lambda x: np.zeros(np.shape(x), jax.dtypes.float0), isects)
+    return d_means2d, d_conics, d_opac, d_channels, d_isects
+
+
+rasterize_pallas.defvjp(_rasterize_fwd, _rasterize_bwd)
+
+
+def absgrad_from_slots(dgeom_s, padded_ids, n):
+    """AbsGS statistic: segment-sum of |per-(tile,gaussian) slot grads|."""
+    seg = functools.partial(jax.ops.segment_sum, num_segments=n + 1)
+    return jnp.stack([seg(jnp.abs(dgeom_s[0]), padded_ids),
+                      seg(jnp.abs(dgeom_s[1]), padded_ids)], axis=-1)[:n]

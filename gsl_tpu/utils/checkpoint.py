@@ -1,0 +1,53 @@
+"""Checkpoint save/load (orbax) for the TrainState.
+
+Parity with the reference checkpoint semantics
+(/root/reference/internal/gaussian_splatting.py:199-221,682-723): full state
+including optimizer moments + density stats; loads re-shape by stored
+capacity (the padded-state analogue of `setup_from_number`); optional
+`drop_optimizer_states` for finetune-style loads.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def save_checkpoint(ckpt_dir: str, state, step: Optional[int] = None):
+    import orbax.checkpoint as ocp
+
+    step = int(step if step is not None else state.step)
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state), force=True)
+    return path
+
+
+def find_latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Max-iteration auto-search (reference gaussian_model_loader.py:10-60)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best, best_step = None, -1
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("step_"):
+            try:
+                s = int(name.split("_", 1)[1])
+            except ValueError:
+                continue
+            if s > best_step:
+                best, best_step = os.path.join(ckpt_dir, name), s
+    return best
+
+
+def load_checkpoint(path: str, target,
+                    drop_optimizer_states: bool = False):
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path), item=target)
+    if drop_optimizer_states and hasattr(restored, "opt_state") \
+            and hasattr(target, "opt_state"):
+        restored = restored.replace(opt_state=target.opt_state)
+    return restored

@@ -1,0 +1,103 @@
+"""Pallas rasterizer (interpret mode on CPU) vs the pure-JAX tile
+rasterizer: forward image, alpha, and input gradients."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gsl_tpu.ops.projection import project_gaussians
+from gsl_tpu.ops.tiling import isect_encode
+from gsl_tpu.ops.rasterize_jax import rasterize_tiles
+from gsl_tpu.ops.rasterize_pallas import (isect_encode_padded,
+                                          rasterize_pallas)
+
+from scene_utils import random_scene, simple_camera
+
+W, H, TS = 64, 48, 16
+CHUNK = 128
+
+
+def _project(n, seed):
+    means, scales, quats, opac, colors = random_scene(n, seed)
+    cam = simple_camera(W, H)
+    proj = project_gaussians(
+        means, scales, quats, cam.world_to_camera,
+        cam.fx, cam.fy, cam.cx, cam.cy, W, H)
+    return proj, opac, colors
+
+
+@pytest.mark.parametrize("n,seed", [(300, 0), (1000, 1), (50, 2)])
+def test_pallas_forward_matches_jax(n, seed):
+    proj, opac, colors = _project(n, seed)
+    bg = jnp.array([0.1, 0.2, 0.3], jnp.float32)
+
+    isects_ref = isect_encode(proj, H, W, TS, capacity=8192)
+    img_ref, alpha_ref = rasterize_tiles(
+        proj.means2d, proj.conics, opac, colors, isects_ref, H, W,
+        tile_size=TS, max_per_tile=2048, chunk=64, background=bg)
+
+    isects = isect_encode_padded(proj, H, W, TS, capacity=8192, chunk=CHUNK)
+    assert int(isects.n_dropped) == 0
+    img_p, alpha_p = rasterize_pallas(
+        proj.means2d, proj.conics, opac, colors, isects, H, W, TS, CHUNK,
+        True)
+    img_p = img_p + (1.0 - alpha_p)[..., None] * bg[None, None, :]
+
+    np.testing.assert_allclose(np.asarray(alpha_p), np.asarray(alpha_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_gradients_match_jax():
+    n, seed = 400, 3
+    proj, opac, colors = _project(n, seed)
+    bg = jnp.array([0.05, 0.1, 0.15], jnp.float32)
+    key = jax.random.PRNGKey(0)
+    target = jax.random.uniform(key, (H, W, 3))
+
+    isects_ref = isect_encode(proj, H, W, TS, capacity=8192)
+
+    def loss_jax(means2d, conics, op, col):
+        img, alpha = rasterize_tiles(
+            means2d, conics, op, col, isects_ref, H, W, tile_size=TS,
+            max_per_tile=2048, chunk=64, background=bg)
+        return jnp.sum((img - target) ** 2) + 0.3 * jnp.sum(alpha ** 2)
+
+    isects = isect_encode_padded(proj, H, W, TS, capacity=8192, chunk=CHUNK)
+
+    def loss_pallas(means2d, conics, op, col):
+        img, alpha = rasterize_pallas(
+            means2d, conics, op, col, isects, H, W, TS, CHUNK, True)
+        img = img + (1.0 - alpha)[..., None] * bg[None, None, :]
+        return jnp.sum((img - target) ** 2) + 0.3 * jnp.sum(alpha ** 2)
+
+    args = (proj.means2d, proj.conics, opac, colors)
+    l_j = float(loss_jax(*args))
+    l_p = float(loss_pallas(*args))
+    np.testing.assert_allclose(l_p, l_j, rtol=1e-5)
+
+    g_j = jax.grad(loss_jax, argnums=(0, 1, 2, 3))(*args)
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(*args)
+    for a, b, name in zip(g_j, g_p, ["means2d", "conics", "opac", "colors"]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=1e-4,
+            err_msg=f"grad mismatch: {name}")
+
+
+def test_pallas_extra_channels():
+    n = 200
+    proj, opac, colors = _project(n, 5)
+    ch = jnp.concatenate([colors, proj.depths[:, None]], axis=-1)
+    bg = jnp.zeros(4, jnp.float32)
+
+    isects_ref = isect_encode(proj, H, W, TS, capacity=8192)
+    img_ref, _ = rasterize_tiles(
+        proj.means2d, proj.conics, opac, ch, isects_ref, H, W,
+        tile_size=TS, max_per_tile=2048, chunk=64, background=bg)
+
+    isects = isect_encode_padded(proj, H, W, TS, capacity=8192, chunk=CHUNK)
+    img_p, alpha_p = rasterize_pallas(
+        proj.means2d, proj.conics, opac, ch, isects, H, W, TS, CHUNK, True)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_ref),
+                               rtol=1e-4, atol=1e-5)
