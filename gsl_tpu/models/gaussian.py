@@ -19,6 +19,7 @@ TPU-native redesign of the reference `GaussianModel`/`VanillaGaussian`
 from __future__ import annotations
 
 import dataclasses
+from typing import Any
 
 import flax.struct
 import jax
@@ -54,10 +55,16 @@ class GaussianParams:
 
 @flax.struct.dataclass
 class GaussianState:
-    """Params + liveness mask (capacity-padded)."""
+    """Params + liveness mask (capacity-padded).
+
+    `extra` holds non-trainable per-Gaussian properties (e.g. Mip-Splatting's
+    filter_3d — the analogue of the reference's non-optimizable extra
+    properties, mip_splatting.py:18-40). Dict of [CAP, ...] arrays or None.
+    """
 
     params: GaussianParams
     alive: jnp.ndarray       # [CAP] bool
+    extra: Any = None
 
     @property
     def capacity(self) -> int:

@@ -264,8 +264,8 @@ def _fwd_kernel(
     @pl.when(last_ref[k] == 1)
     def _():
         out_ref[0] = acc[...]
-        tfin_ref[0] = T[...][:, 0]
-        istop_ref[0] = istop[...][:, 0]
+        tfin_ref[0, 0] = T[...][:, 0]
+        istop_ref[0, 0] = istop[...][:, 0]
 
 
 def _rasterize_fwd_raw(geom_stream, color_stream, isects: PaddedIsects,
@@ -284,8 +284,8 @@ def _rasterize_fwd_raw(geom_stream, color_stream, isects: PaddedIsects,
         ],
         out_specs=[
             pl.BlockSpec((1, P, C), lambda k, t, f, l, v, c: (t[k], 0, 0)),
-            pl.BlockSpec((1, P), lambda k, t, f, l, v, c: (t[k], 0)),
-            pl.BlockSpec((1, P), lambda k, t, f, l, v, c: (t[k], 0)),
+            pl.BlockSpec((1, 1, P), lambda k, t, f, l, v, c: (t[k], 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda k, t, f, l, v, c: (t[k], 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((P, C), jnp.float32),
@@ -299,8 +299,8 @@ def _rasterize_fwd_raw(geom_stream, color_stream, isects: PaddedIsects,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, P, C), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, P), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, P), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.int32),
         ],
         interpret=interpret,
     )(isects.tile_of_chunk, isects.first_flag, isects.last_flag,
@@ -331,8 +331,8 @@ def _bwd_kernel(
     # init per-tile carries on the first (reverse-order) chunk of the tile
     @pl.when(first_rev_ref[k] == 1)
     def _():
-        tf = tfin_ref[0][:, None]                     # [P, 1]
-        galpha = galpha_ref[0][:, None]
+        tf = tfin_ref[0, 0][:, None]                  # [P, 1]
+        galpha = galpha_ref[0, 0][:, None]
         # Sg_init = T_final * (bg.g - galpha); bg term folded outside via
         # galpha' (see wrapper), so here: Sg = -T_final * galpha'
         Sg[...] = -tf * galpha
@@ -347,7 +347,7 @@ def _bwd_kernel(
 
         base = cit_ref[k] * chunk
         idx = base + lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
-        comp = keep & (idx < istop_ref[0][:, None])
+        comp = keep & (idx < istop_ref[0, 0][:, None])
         a = jnp.where(comp, a, 0.0)
         lf = jnp.log1p(-a)
 
@@ -432,9 +432,9 @@ def _rasterize_bwd_raw(geom_stream, color_stream, gout, galpha_eff, tfin,
                          lambda k, p, t, f, v, c: (0, p[k])),
             pl.BlockSpec((1, P, C),
                          lambda k, p, t, f, v, c: (t[k], 0, 0)),
-            pl.BlockSpec((1, P), lambda k, p, t, f, v, c: (t[k], 0)),
-            pl.BlockSpec((1, P), lambda k, p, t, f, v, c: (t[k], 0)),
-            pl.BlockSpec((1, P), lambda k, p, t, f, v, c: (t[k], 0)),
+            pl.BlockSpec((1, 1, P), lambda k, p, t, f, v, c: (t[k], 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda k, p, t, f, v, c: (t[k], 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda k, p, t, f, v, c: (t[k], 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((8, chunk),
@@ -501,10 +501,12 @@ def _fwd_impl(means2d, conics, opacities, channels, isects,
     # tiles with zero chunks were never written: force empty output
     empty = (isects.tile_counts == 0)
     out_t = jnp.where(empty[:, None, None], 0.0, out_t)
-    tfin_t = jnp.where(empty[:, None], 1.0, tfin_t)
+    tfin_t = jnp.where(empty[:, None, None], 1.0, tfin_t)
+    istop_t = jnp.where(empty[:, None, None], BIG_I32, istop_t)
     ts = tile_size
     out = _tiles_to_image(out_t, tiles_y, tiles_x, ts, img_height, img_width)
-    alpha = _tiles_to_image(1.0 - tfin_t[..., None], tiles_y, tiles_x, ts,
+    alpha = _tiles_to_image(1.0 - tfin_t.transpose(0, 2, 1), tiles_y,
+                            tiles_x, ts,
                             img_height, img_width)[..., 0]
     return (out, alpha), tfin_t, istop_t
 
@@ -542,7 +544,8 @@ def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
     geom_s, color_s = _gather_streams(means2d, conics, opacities, channels,
                                       isects.padded_ids)
     gout_t = _image_to_tiles(g_out, tiles_y, tiles_x, ts)       # [T, P, C]
-    galpha_t = _image_to_tiles(g_alpha, tiles_y, tiles_x, ts)[..., 0]
+    galpha_t = _image_to_tiles(g_alpha, tiles_y, tiles_x,
+                               ts).transpose(0, 2, 1)  # [T, 1, P]
     # alpha = 1 - T_final: dL/dT_final = -g_alpha. Fold into the Sg carry:
     # Sg_init = -T_final * galpha_eff with galpha_eff = g_alpha (see kernel:
     # Sg = -tf * galpha => dalpha gets +galpha*T_final/(1-a)).

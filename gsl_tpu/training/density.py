@@ -158,6 +158,12 @@ def densify_and_prune(
     )
     alive = alive.at[dest].set(True, mode="drop")
 
+    # non-trainable extra properties: copy source rows into new slots
+    extra = gstate.extra
+    if extra is not None:
+        extra = jax.tree.map(
+            lambda arr: arr.at[dest].set(arr[src], mode="drop"), extra)
+
     # --- prune (on post-densify values) ---
     opacities_act = jax.nn.sigmoid(params.opacities[:, 0])
     prune = opacities_act < cfg.cull_opacity_threshold
@@ -176,8 +182,8 @@ def densify_and_prune(
     opt_state = zero_opt_state_rows(opt_state, touched, cap)
 
     n_truncated = jnp.maximum(total_new - n_free, 0)
-    return (GaussianState(params=params, alive=alive), opt_state,
-            init_density_state(cap), n_truncated)
+    return (GaussianState(params=params, alive=alive, extra=extra),
+            opt_state, init_density_state(cap), n_truncated)
 
 
 def reset_opacities(gstate: GaussianState, opt_state: Any,
@@ -197,4 +203,5 @@ def reset_opacities(gstate: GaussianState, opt_state: Any,
         return leaf
 
     opt_state = jax.tree.map(fix, opt_state)
-    return GaussianState(params=params, alive=gstate.alive), opt_state
+    return (GaussianState(params=params, alive=gstate.alive,
+                          extra=gstate.extra), opt_state)
