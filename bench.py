@@ -29,8 +29,12 @@ def main():
     from gsl_tpu.renderers.tile_renderer import TileRendererConfig
     from gsl_tpu.training.metrics import train_loss
 
-    H, W = 1088, 1920
-    n, cap = 1_000_000, 1 << 20
+    H = int(os.environ.get("BENCH_H", "1088"))
+    W = int(os.environ.get("BENCH_W", "1920"))
+    n = int(os.environ.get("BENCH_N", "1000000"))
+    cap = 1
+    while cap < n:
+        cap <<= 1
     sh_degree = 3
     state = _synthetic_state(n, cap, sh_degree=sh_degree, seed=0)
     cam = make_camera(R=np.eye(3), T=np.zeros(3), fx=1600.0, fy=1600.0,

@@ -1,0 +1,194 @@
+"""CLI: `python main.py fit|validate --config configs/x.yaml --key value`.
+
+The analogue of the reference LightningCLI surface
+(/root/reference/internal/cli.py:29-156, internal/entrypoints/gspl.py:11-60):
+YAML presets select component classes by path and set hyperparameters;
+later configs/flags override earlier ones; `-n/--name` builds the output
+dir; checkpoints auto-searched for validate.
+
+Component selection uses `class_path`/`init_args` dicts like the reference
+configs (configs/gsplat.yaml style), resolved against this package.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import importlib
+import os
+from typing import Any, Dict
+
+import yaml
+
+from .data.dataparsers.blender import BlenderDataParserConfig
+from .data.dataparsers.colmap import ColmapDataParserConfig
+from .models.gaussian import VanillaGaussianConfig, OptimizationConfig
+from .models.mip_splatting import MipSplattingConfig
+from .renderers.mip_splatting_renderer import MipSplattingRendererConfig
+from .renderers.tile_renderer import TileRendererConfig
+from .training.density import VanillaDensityControllerConfig
+from .training.fit import FitConfig, fit, validate
+from .training.mcmc import MCMCDensityControllerConfig
+from .training.metrics import MCMCMetricsConfig, VanillaMetricsConfig
+from .training.trainer import Trainer, TrainerConfig
+
+_REGISTRY = {
+    "VanillaGaussian": VanillaGaussianConfig,
+    "MipSplatting": MipSplattingConfig,
+    "TileRenderer": TileRendererConfig,
+    "MipSplattingRenderer": MipSplattingRendererConfig,
+    "VanillaDensityController": VanillaDensityControllerConfig,
+    "MCMCDensityController": MCMCDensityControllerConfig,
+    "VanillaMetrics": VanillaMetricsConfig,
+    "MCMCMetrics": MCMCMetricsConfig,
+    "Colmap": ColmapDataParserConfig,
+    "Blender": BlenderDataParserConfig,
+}
+
+
+def _resolve_class(path: str):
+    if path in _REGISTRY:
+        return _REGISTRY[path]
+    if "." in path:
+        mod, name = path.rsplit(".", 1)
+        return getattr(importlib.import_module(mod), name)
+    raise KeyError(f"unknown component {path!r}; known: {list(_REGISTRY)}")
+
+
+def _build(cfg_cls, spec: Any):
+    """Build a config dataclass from a YAML dict, supporting
+    class_path/init_args subclass swaps (jsonargparse style) and nested
+    dataclass fields (e.g. model.gaussian.optimization)."""
+    if spec is None:
+        return cfg_cls()
+    if isinstance(spec, dict) and ("class_path" in spec
+                                   or "init_args" in spec):
+        if "class_path" in spec:
+            cfg_cls = _resolve_class(spec["class_path"])
+        spec = spec.get("init_args", {}) or {}
+    inst = cfg_cls()
+    field_names = {f.name for f in dataclasses.fields(cfg_cls)}
+    for k, v in (spec or {}).items():
+        if k not in field_names:
+            raise KeyError(f"unknown field {k!r} for {cfg_cls.__name__}")
+        cur = getattr(inst, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            setattr(inst, k, _build(type(cur), v))
+        else:
+            setattr(inst, k, v)
+    return inst
+
+
+def _deep_update(base: Dict, new: Dict) -> Dict:
+    for k, v in new.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            _deep_update(base[k], v)
+        else:
+            base[k] = v
+    return base
+
+
+def load_config(config_paths, overrides: Dict) -> Dict:
+    merged: Dict = {}
+    for p in config_paths or []:
+        with open(p) as f:
+            _deep_update(merged, yaml.safe_load(f) or {})
+    _deep_update(merged, overrides)
+    return merged
+
+
+def parse_overrides(pairs) -> Dict:
+    out: Dict = {}
+    for pair in pairs or []:
+        key, _, val = pair.partition("=")
+        val = yaml.safe_load(val)
+        node = out
+        parts = key.lstrip("-").split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return out
+
+
+def build_components(cfg: Dict):
+    data_spec = cfg.get("data", {})
+    parser_spec = data_spec.get("parser", {"class_path": "Colmap"})
+    if isinstance(parser_spec, str):
+        parser_spec = {"class_path": parser_spec}
+    if "path" in data_spec:
+        parser_spec.setdefault("init_args", {})["path"] = data_spec["path"]
+    dataparser_cfg = _build(ColmapDataParserConfig, parser_spec)
+
+    model_spec = cfg.get("model", {})
+    model = _build(VanillaGaussianConfig, model_spec.get("gaussian"))
+    renderer = _build(TileRendererConfig, model_spec.get("renderer"))
+    density = _build(VanillaDensityControllerConfig,
+                     model_spec.get("density"))
+    metrics = _build(VanillaMetricsConfig, model_spec.get("metric"))
+    trainer_cfg = _build(TrainerConfig, cfg.get("trainer"))
+    fit_cfg = _build(FitConfig, cfg.get("fit"))
+
+    trainer = Trainer(model=model, renderer=renderer, density=density,
+                      metrics=metrics, config=trainer_cfg)
+    return trainer, dataparser_cfg, fit_cfg
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("gsl_tpu")
+    ap.add_argument("subcommand", choices=["fit", "validate", "test"])
+    ap.add_argument("--config", action="append", default=[])
+    ap.add_argument("--data.path", dest="data_path", default=None)
+    ap.add_argument("-n", "--name", default="run")
+    ap.add_argument("--output", default="outputs")
+    ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("set", nargs="*", help="key=value overrides")
+    args = ap.parse_args(argv)
+
+    overrides = parse_overrides(args.set)
+    cfg = load_config(args.config, overrides)
+    if args.data_path:
+        cfg.setdefault("data", {})["path"] = args.data_path
+    if args.max_steps:
+        cfg.setdefault("fit", {})["max_steps"] = args.max_steps
+        cfg.setdefault("trainer", {})["max_steps"] = args.max_steps
+    cfg.setdefault("fit", {}).setdefault(
+        "output_dir", os.path.join(args.output, args.name))
+    cfg["fit"]["seed"] = args.seed
+
+    trainer, dataparser_cfg, fit_cfg = build_components(cfg)
+    outputs = dataparser_cfg.instantiate().get_outputs()
+
+    if args.subcommand == "fit":
+        state, results = fit(trainer, outputs, fit_cfg)
+        if results:
+            print(f"val: psnr={results['psnr']:.3f} "
+                  f"ssim={results['ssim']:.4f}")
+    else:
+        from .utils.checkpoint import find_latest_checkpoint, load_checkpoint
+        pc = outputs.point_cloud
+        capacity = max(int(pc.xyz.shape[0] * fit_cfg.capacity_multiplier),
+                       fit_cfg.min_capacity)
+        gaussians = trainer.model.init_from_pcd(pc.xyz, pc.rgb,
+                                                _round_cap(capacity))
+        state = trainer.setup(gaussians, outputs.camera_extent)
+        ckpt = find_latest_checkpoint(
+            os.path.join(fit_cfg.output_dir, "checkpoints"))
+        if ckpt is None:
+            raise FileNotFoundError("no checkpoint found")
+        state = load_checkpoint(ckpt, state)
+        split = "val" if args.subcommand == "validate" else "test"
+        results = validate(trainer, state, outputs, fit_cfg, split=split,
+                           save_images=True)
+        print(f"{split}: psnr={results['psnr']:.3f} "
+              f"ssim={results['ssim']:.4f}")
+
+
+def _round_cap(n):
+    cap = 1 << 14
+    while cap < n:
+        cap <<= 1
+    return cap
+
+
+if __name__ == "__main__":
+    main()

@@ -246,14 +246,16 @@ def _fwd_kernel(
         tri = (lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
                < lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1))
         S_exc = jnp.dot(lf, tri.astype(lf.dtype),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
         T_exc = T[...] * jnp.exp(S_exc)
         T_inc = T_exc * (1.0 - a)
 
         comp = (T_inc > MIN_TRANSMITTANCE) & (a > 0.0)
         w = jnp.where(comp, a * T_exc, 0.0)
         acc[...] += jnp.dot(w, color_ref[...].T,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
         lf_eff = jnp.where(comp, lf, 0.0)
         T[...] = T[...] * jnp.exp(jnp.sum(lf_eff, axis=1, keepdims=True))
         brk = (T_inc <= MIN_TRANSMITTANCE) & (a > 0.0)
@@ -355,18 +357,21 @@ def _bwd_kernel(
         tri_ge = (lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
                   >= lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1))
         S_inc = jnp.dot(lf, tri_ge.astype(lf.dtype),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
         T_exc = T_run[...] * jnp.exp(-S_inc)          # T before gaussian i
 
         g = gout_ref[0]                               # [P, C]
         colors = color_ref[...]                       # [C, K]
-        cg = jnp.dot(g, colors, preferred_element_type=jnp.float32)  # [P, K]
+        cg = jnp.dot(g, colors, preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)       # [P, K]
 
         q = a * T_exc * cg                            # [P, K] (comp-masked)
         tri_gt = (lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
                   > lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1))
         Sq_strict = jnp.dot(q, tri_gt.astype(q.dtype),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
         Sg_i = Sg[...] + Sq_strict
 
         one_minus = jnp.maximum(1.0 - a, 1e-3)
@@ -376,7 +381,8 @@ def _bwd_kernel(
         # color grads [C, K] = g^T @ w (contract over pixels)
         dcolor_ref[...] = lax.dot_general(
             g, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)
 
         not_clamped = raw < MAX_ALPHA
         dsigma = jnp.where(not_clamped, -a * dalpha, 0.0)
@@ -473,15 +479,19 @@ def _tiles_to_image(x_tPC, tiles_y, tiles_x, ts, H, W):
     return img[:H, :W]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def rasterize_pallas(means2d, conics, opacities, channels, isects,
-                     img_height, img_width, tile_size=16, chunk=128,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def rasterize_pallas(means2d, conics, opacities, channels, absgrad_tap,
+                     isects, img_height, img_width, tile_size=16, chunk=128,
                      interpret=False):
     """Rasterize with the Pallas TPU kernels.
 
     Returns (channels_img [H, W, C] WITHOUT background blending,
              alpha [H, W]). Apply background as
     `img + (1 - alpha)[..., None] * bg` (differentiable in XLA).
+
+    `absgrad_tap` [N, 2] zeros: its cotangent is the AbsGS statistic —
+    sum over tiles of |per-(tile,gaussian) means2d gradient| (same
+    granularity as gsplat's in-kernel absgrad accumulation).
     """
     out, _, _ = _fwd_impl(means2d, conics, opacities, channels, isects,
                           img_height, img_width, tile_size, chunk, interpret)
@@ -511,8 +521,9 @@ def _fwd_impl(means2d, conics, opacities, channels, isects,
     return (out, alpha), tfin_t, istop_t
 
 
-def _rasterize_fwd(means2d, conics, opacities, channels, isects,
-                   img_height, img_width, tile_size, chunk, interpret):
+def _rasterize_fwd(means2d, conics, opacities, channels, absgrad_tap,
+                   isects, img_height, img_width, tile_size, chunk,
+                   interpret):
     (out, alpha), tfin_t, istop_t = _fwd_impl(
         means2d, conics, opacities, channels, isects, img_height, img_width,
         tile_size, chunk, interpret)
@@ -561,9 +572,11 @@ def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
                           seg(dgeom_s[4], ids)], axis=-1)[:n]
     d_opac = seg(dgeom_s[5], ids)[:n]
     d_channels = jax.vmap(lambda row: seg(row, ids))(dcolor_s).T[:n]
+    d_abstap = jnp.stack([seg(jnp.abs(dgeom_s[0]), ids),
+                          seg(jnp.abs(dgeom_s[1]), ids)], axis=-1)[:n]
     d_isects = jax.tree.map(
         lambda x: np.zeros(np.shape(x), jax.dtypes.float0), isects)
-    return d_means2d, d_conics, d_opac, d_channels, d_isects
+    return d_means2d, d_conics, d_opac, d_channels, d_abstap, d_isects
 
 
 rasterize_pallas.defvjp(_rasterize_fwd, _rasterize_bwd)

@@ -1,0 +1,286 @@
+"""2DGS surfel projection + tile rasterization (pure JAX/XLA).
+
+TPU-native replacement for the `diff-surfel-rasterization` CUDA extension
+used by the reference 2DGS renderer
+(/root/reference/internal/renderers/vanilla_2dgs_renderer.py:14,82): instead
+of a conic footprint, each primitive is a 2D disk in 3D; per pixel we solve
+the perspective-correct ray-splat intersection (2DGS paper, homogeneous
+plane-cross formulation) and composite:
+
+- rgb (+ any constant per-splat channels, e.g. view-space normals),
+- alpha, expected depth (sum w * depth at the intersection point),
+- median depth (depth where transmittance first drops below 0.5),
+- depth distortion (sum_i w_i sum_{j<i} w_j (m_i - m_j)^2, incremental form
+  with NDC-mapped depth m, near 0.2 / far 100 like the CUDA kernel).
+
+Differentiable by XLA autodiff; the compositing recurrence closes into
+cumulative ops the same way as rasterize_jax (MXU-friendly chunks).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .rasterize_reference import ALPHA_THRESHOLD, MIN_TRANSMITTANCE
+from .tiling import TileIntersections
+from .transforms import quat_to_rotmat, normalize_quat
+
+MAX_ALPHA_2D = 0.99          # surfel kernel clamps at 0.99 (not 0.999)
+FILTER_INV_SQUARE = 2.0      # 2D screen-space low-pass: rho2d = 2*d^2
+NEAR_2D = 0.2
+FAR_2D = 100.0
+CUTOFF_SQ = 9.0              # 3 sigma
+
+
+class SurfelProjections(NamedTuple):
+    Tu: jnp.ndarray        # [N, 3] homogeneous pixel-space u-axis
+    Tv: jnp.ndarray        # [N, 3]
+    Tw: jnp.ndarray        # [N, 3] (center)
+    zcoef: jnp.ndarray     # [N, 3] camera-z = z0 + u*zu + v*zv -> (zu,zv,z0)
+    normals: jnp.ndarray   # [N, 3] view-space, facing the camera
+    means2d: jnp.ndarray   # [N, 2] projected center (pixels)
+    depths: jnp.ndarray    # [N] center camera z (sort key)
+    radii: jnp.ndarray     # [N] int32
+    mask: jnp.ndarray      # [N]
+
+
+def project_surfels(means3d, scales2d, quats, viewmat, fx, fy, cx, cy,
+                    img_width: int, img_height: int,
+                    scale_modifier: float = 1.0) -> SurfelProjections:
+    """scales2d [N, 2] activated; quats wxyz."""
+    R_wc = viewmat[:3, :3]
+    t_wc = viewmat[:3, 3]
+    p_cam = means3d @ R_wc.T + t_wc
+
+    Rg = quat_to_rotmat(normalize_quat(quats))       # [N, 3, 3]
+    R_cam = jnp.einsum("ij,njk->nik", R_wc, Rg)      # rotate into camera
+    au = R_cam[:, :, 0] * (scales2d[:, 0:1] * scale_modifier)   # [N, 3]
+    av = R_cam[:, :, 1] * (scales2d[:, 1:2] * scale_modifier)
+    n_view = R_cam[:, :, 2]
+    flip = -jnp.sign(jnp.sum(p_cam * n_view, axis=-1, keepdims=True))
+    normals = n_view * jnp.where(flip == 0.0, 1.0, flip)
+
+    # homogeneous pixel projection: (X, Y, W) = A @ q, pix = (X/W, Y/W)
+    def proj(q):
+        return jnp.stack([fx * q[:, 0] + cx * q[:, 2],
+                          fy * q[:, 1] + cy * q[:, 2],
+                          q[:, 2]], axis=-1)
+
+    Tu, Tv, Tw = proj(au), proj(av), proj(p_cam)
+    zcoef = jnp.stack([au[:, 2], av[:, 2], p_cam[:, 2]], axis=-1)
+
+    wz = Tw[:, 2]
+    center = jnp.stack([Tw[:, 0] / jnp.where(wz == 0, 1.0, wz),
+                        Tw[:, 1] / jnp.where(wz == 0, 1.0, wz)], axis=-1)
+
+    # conic-bound AABB with t = (9, 9, -1) (2DGS compute_aabb)
+    t = jnp.array([CUTOFF_SQ, CUTOFF_SQ, -1.0], jnp.float32)
+    M = jnp.stack([Tu, Tv, Tw], axis=1)              # [N, 3(row uvw), 3(xyw)]
+    d = jnp.einsum("k,nk->n", t, M[:, :, 2] * M[:, :, 2])
+    d_safe = jnp.where(jnp.abs(d) < 1e-12, 1.0, d)
+    f = t[None, :] / d_safe[:, None]                 # [N, 3]
+    cx_b = jnp.einsum("nk,nk->n", f, M[:, :, 0] * M[:, :, 2])
+    cy_b = jnp.einsum("nk,nk->n", f, M[:, :, 1] * M[:, :, 2])
+    hx = jnp.sqrt(jnp.maximum(
+        cx_b * cx_b - jnp.einsum("nk,nk->n", f, M[:, :, 0] * M[:, :, 0]),
+        0.0))
+    hy = jnp.sqrt(jnp.maximum(
+        cy_b * cy_b - jnp.einsum("nk,nk->n", f, M[:, :, 1] * M[:, :, 1]),
+        0.0))
+    # low-pass filter footprint: 3 sigma of sigma^2 = 1/FILTER_INV_SQUARE
+    filter_r = 3.0 * jnp.sqrt(1.0 / FILTER_INV_SQUARE)
+    radius = jnp.ceil(jnp.maximum(jnp.maximum(hx, hy), filter_r))
+
+    depth_ok = p_cam[:, 2] > NEAR_2D
+    inside = ((center[:, 0] + radius > 0)
+              & (center[:, 0] - radius < img_width)
+              & (center[:, 1] + radius > 0)
+              & (center[:, 1] - radius < img_height))
+    mask = depth_ok & (jnp.abs(d) >= 1e-12) & inside
+    zero = jnp.zeros((), jnp.float32)
+
+    return SurfelProjections(
+        Tu=jnp.where(mask[:, None], Tu, zero),
+        Tv=jnp.where(mask[:, None], Tv, zero),
+        Tw=jnp.where(mask[:, None], Tw, zero),
+        zcoef=jnp.where(mask[:, None], zcoef, zero),
+        normals=jnp.where(mask[:, None], normals, zero),
+        means2d=jnp.where(mask[:, None], center, zero),
+        depths=jnp.where(mask, p_cam[:, 2], zero),
+        radii=jnp.where(mask, radius, 0.0).astype(jnp.int32),
+        mask=mask,
+    )
+
+
+def _map_depth(d):
+    """NDC-ish depth mapping for the distortion loss (CUDA near/far)."""
+    return (FAR_2D * (d - NEAR_2D)) / ((FAR_2D - NEAR_2D)
+                                       * jnp.maximum(d, 1e-6))
+
+
+class SurfelRenderResult(NamedTuple):
+    channels: jnp.ndarray   # [H, W, C] (rgb + constant channels, bg-blended
+                            # on rgb only by caller)
+    alpha: jnp.ndarray      # [H, W]
+    exp_depth: jnp.ndarray  # [H, W] sum w * depth (unnormalized)
+    median_depth: jnp.ndarray  # [H, W]
+    distortion: jnp.ndarray    # [H, W]
+
+
+def rasterize_surfels(
+    proj: SurfelProjections,
+    opacities: jnp.ndarray,   # [N]
+    channels: jnp.ndarray,    # [N, C] rgb + constant per-splat channels
+    isects: TileIntersections,
+    img_height: int,
+    img_width: int,
+    tile_size: int = 16,
+    max_per_tile: int = 1024,
+    chunk: int = 64,
+    remat: bool = True,
+) -> SurfelRenderResult:
+    N, C = channels.shape
+    ts = tile_size
+    tiles_x = -(-img_width // ts)
+    tiles_y = -(-img_height // ts)
+    n_tiles = tiles_x * tiles_y
+    P = ts * ts
+    cap = isects.gaussian_ids.shape[0]
+    dtype = jnp.float32
+
+    xs = jnp.arange(tiles_x * ts, dtype=dtype) + 0.5
+    ys = jnp.arange(tiles_y * ts, dtype=dtype) + 0.5
+    pix_x_img = jnp.broadcast_to(xs[None, :], (tiles_y * ts, tiles_x * ts))
+    pix_y_img = jnp.broadcast_to(ys[:, None], (tiles_y * ts, tiles_x * ts))
+
+    def to_tiles(img):
+        return (img.reshape(tiles_y, ts, tiles_x, ts)
+                .transpose(0, 2, 1, 3).reshape(n_tiles, P))
+
+    pix_x = to_tiles(pix_x_img)
+    pix_y = to_tiles(pix_y_img)
+
+    counts = jnp.minimum(isects.tile_counts, max_per_tile)
+    starts = isects.tile_starts
+    n_chunks = -(-max_per_tile // chunk)
+
+    def chunk_body(carry, k):
+        (T, out, done, depth_acc, med, med_found, dist, A1, M1, M2) = carry
+        local = k * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        idx = jnp.clip(starts[:, None] + local[None, :], 0, cap - 1)
+        valid = local[None, :] < counts[:, None]
+        gid = jnp.maximum(jnp.take(isects.gaussian_ids, idx, axis=0), 0)
+
+        Tu = jnp.take(proj.Tu, gid, axis=0)       # [T, K, 3]
+        Tv = jnp.take(proj.Tv, gid, axis=0)
+        Tw = jnp.take(proj.Tw, gid, axis=0)
+        zc = jnp.take(proj.zcoef, gid, axis=0)
+        op = jnp.take(opacities, gid, axis=0)     # [T, K]
+        ch = jnp.take(channels, gid, axis=0)      # [T, K, C]
+
+        px = pix_x[:, :, None]                    # [T, P, 1]
+        py = pix_y[:, :, None]
+        # plane-cross intersection: (u, v, 1) ~ cross(hx, hy)
+        # hx_i = px * T_i.w - T_i.x (component per axis i in {u, v, w})
+        hx_u = px * Tu[:, None, :, 2] - Tu[:, None, :, 0]   # [T, P, K]
+        hx_v = px * Tv[:, None, :, 2] - Tv[:, None, :, 0]
+        hx_w = px * Tw[:, None, :, 2] - Tw[:, None, :, 0]
+        hy_u = py * Tu[:, None, :, 2] - Tu[:, None, :, 1]
+        hy_v = py * Tv[:, None, :, 2] - Tv[:, None, :, 1]
+        hy_w = py * Tw[:, None, :, 2] - Tw[:, None, :, 1]
+        # cross((hx_u,hx_v,hx_w),(hy_u,hy_v,hy_w))
+        cxx = hx_v * hy_w - hx_w * hy_v
+        cyy = hx_w * hy_u - hx_u * hy_w
+        czz = hx_u * hy_v - hx_v * hy_u
+        cz_safe = jnp.where(jnp.abs(czz) < 1e-12, 1.0, czz)
+        u = cxx / cz_safe
+        v = cyy / cz_safe
+        rho3d = u * u + v * v
+
+        cxp = Tw[:, None, :, 0] / jnp.where(Tw[:, None, :, 2] == 0, 1.0,
+                                            Tw[:, None, :, 2])
+        cyp = Tw[:, None, :, 1] / jnp.where(Tw[:, None, :, 2] == 0, 1.0,
+                                            Tw[:, None, :, 2])
+        dxp = px - cxp
+        dyp = py - cyp
+        rho2d = FILTER_INV_SQUARE * (dxp * dxp + dyp * dyp)
+        rho = jnp.minimum(rho3d, rho2d)
+
+        depth = (zc[:, None, :, 2] + u * zc[:, None, :, 0]
+                 + v * zc[:, None, :, 1])
+        G = jnp.exp(-0.5 * rho)
+        alpha = jnp.minimum(MAX_ALPHA_2D, op[:, None, :] * G)
+        keep = ((alpha >= ALPHA_THRESHOLD) & valid[:, None, :]
+                & (jnp.abs(czz) >= 1e-12) & (depth >= NEAR_2D))
+        a = jnp.where(keep, alpha, 0.0)
+
+        one_minus = 1.0 - a
+        inc = jnp.cumprod(one_minus, axis=-1)
+        p_exc = T[..., None] * jnp.concatenate(
+            [jnp.ones_like(inc[..., :1]), inc[..., :-1]], axis=-1)
+        p_inc = p_exc * one_minus
+        comp = (p_inc > MIN_TRANSMITTANCE) & (a > 0.0) & ~done[..., None]
+        w = jnp.where(comp, a * p_exc, 0.0)       # [T, P, K]
+
+        out = out + jnp.einsum("tpk,tkc->tpc", w, ch,
+                               preferred_element_type=jnp.float32)
+        depth_acc = depth_acc + jnp.sum(w * depth, axis=-1)
+
+        # median: first composite where T_inc <= 0.5 (T monotone)
+        crossed = comp & (p_exc > 0.5) & (p_inc <= 0.5)
+        med = med + jnp.sum(
+            jnp.where(crossed & ~med_found[..., None], depth, 0.0), axis=-1)
+        med_found = med_found | jnp.any(crossed, axis=-1)
+
+        # distortion: D += w_i*(m_i^2*A_exc + M2_exc - 2 m_i M1_exc)
+        m = _map_depth(depth)
+        w_cum = jnp.cumsum(w, axis=-1)
+        wm_cum = jnp.cumsum(w * m, axis=-1)
+        wm2_cum = jnp.cumsum(w * m * m, axis=-1)
+        A_exc = A1[..., None] + w_cum - w
+        M1_exc = M1[..., None] + wm_cum - w * m
+        M2_exc = M2[..., None] + wm2_cum - w * m * m
+        dist = dist + jnp.sum(
+            w * (m * m * A_exc + M2_exc - 2.0 * m * M1_exc), axis=-1)
+        A1 = A1 + w_cum[..., -1]
+        M1 = M1 + wm_cum[..., -1]
+        M2 = M2 + wm2_cum[..., -1]
+
+        T = T * jnp.prod(jnp.where(comp, one_minus, 1.0), axis=-1)
+        done = done | jnp.any((p_inc <= MIN_TRANSMITTANCE) & (a > 0.0),
+                              axis=-1)
+        return (T, out, done, depth_acc, med, med_found, dist,
+                A1, M1, M2), None
+
+    if remat:
+        chunk_body = jax.checkpoint(chunk_body)
+
+    z2 = jnp.zeros((n_tiles, P), dtype)
+    init = (jnp.ones((n_tiles, P), dtype),
+            jnp.zeros((n_tiles, P, C), dtype),
+            jnp.zeros((n_tiles, P), bool),
+            z2, z2, jnp.zeros((n_tiles, P), bool), z2, z2, z2, z2)
+    (T, out, _, depth_acc, med, _, dist, _, _, _), _ = jax.lax.scan(
+        chunk_body, init, jnp.arange(n_chunks, dtype=jnp.int32))
+
+    def untile(x_tP, c=None):
+        if x_tP.ndim == 2:
+            img = x_tP.reshape(tiles_y, tiles_x, ts, ts)
+            img = img.transpose(0, 2, 1, 3).reshape(tiles_y * ts,
+                                                    tiles_x * ts)
+        else:
+            cdim = x_tP.shape[-1]
+            img = x_tP.reshape(tiles_y, tiles_x, ts, ts, cdim)
+            img = img.transpose(0, 2, 1, 3, 4).reshape(
+                tiles_y * ts, tiles_x * ts, cdim)
+        return img[:img_height, :img_width]
+
+    return SurfelRenderResult(
+        channels=untile(out),
+        alpha=untile(1.0 - T),
+        exp_depth=untile(depth_acc),
+        median_depth=untile(med),
+        distortion=untile(dist),
+    )

@@ -25,6 +25,7 @@ from ..data.cameras import Cameras
 from ..models.gaussian import GaussianState
 from ..ops.projection import project_gaussians, Projections
 from ..ops.rasterize_jax import rasterize_tiles
+from ..ops.rasterize_pallas import isect_encode_padded, rasterize_pallas
 from ..ops.sh import sh_to_rgb
 from ..ops.tiling import isect_encode
 from .renderer import RendererOutputInfo, RendererOutputType
@@ -55,6 +56,8 @@ class TileRendererConfig:
     max_per_tile: int = 2048
     chunk: int = 128
     max_viewspace_grad_scale: float = 65535.0
+    backend: str = "auto"              # "auto" | "pallas" | "xla"
+    pallas_chunk: int = 128
 
     def instantiate(self) -> "TileRenderer":
         return TileRenderer(self)
@@ -94,6 +97,7 @@ class TileRenderer:
         render_types: FrozenSet[str] = frozenset({"rgb"}),
         scaling_modifier: float = 1.0,
         means2d_tap: Optional[jnp.ndarray] = None,
+        absgrad_tap: Optional[jnp.ndarray] = None,
         isect_capacity: Optional[int] = None,
     ) -> RenderOutputs:
         cfg = self.config
@@ -101,6 +105,8 @@ class TileRenderer:
         if isect_capacity is None:
             isect_capacity = max(cfg.isect_capacity_factor * cap,
                                  cfg.min_isect_capacity)
+        use_pallas = cfg.backend == "pallas" or (
+            cfg.backend == "auto" and jax.default_backend() == "tpu")
 
         scales = self.get_scales(gaussians, camera) * scaling_modifier
         proj = project_gaussians(
@@ -134,12 +140,28 @@ class TileRenderer:
         ch = jnp.concatenate(channels, axis=-1)
         bgv = jnp.concatenate(bg, axis=-1)
 
-        isects = isect_encode(
-            proj, img_height, img_width, cfg.tile_size, isect_capacity)
-        img, alpha = rasterize_tiles(
-            proj.means2d, proj.conics, opacities, ch, isects,
-            img_height, img_width, tile_size=cfg.tile_size,
-            max_per_tile=cfg.max_per_tile, chunk=cfg.chunk, background=bgv)
+        if absgrad_tap is None:
+            absgrad_tap = jnp.zeros_like(proj.means2d)
+
+        if use_pallas:
+            isects_p = isect_encode_padded(
+                proj, img_height, img_width, cfg.tile_size, isect_capacity,
+                cfg.pallas_chunk)
+            img_nobg, alpha = rasterize_pallas(
+                proj.means2d, proj.conics, opacities, ch, absgrad_tap,
+                isects_p, img_height, img_width, cfg.tile_size,
+                cfg.pallas_chunk, False)
+            img = img_nobg + (1.0 - alpha)[..., None] * bgv[None, None, :]
+            n_isects, n_dropped = isects_p.n_isects, isects_p.n_dropped
+        else:
+            isects = isect_encode(
+                proj, img_height, img_width, cfg.tile_size, isect_capacity)
+            img, alpha = rasterize_tiles(
+                proj.means2d, proj.conics, opacities, ch, isects,
+                img_height, img_width, tile_size=cfg.tile_size,
+                max_per_tile=cfg.max_per_tile, chunk=cfg.chunk,
+                background=bgv)
+            n_isects, n_dropped = isects.n_isects, isects.n_dropped
 
         hard_inv = None
         if "hard_inverse_depth" in render_types:
@@ -148,11 +170,17 @@ class TileRenderer:
             hard_op = opacities + jax.lax.stop_gradient(1.0 - opacities)
             hard_op = hard_op * (opacities > 0.0)
             inv_d = 1.0 / jnp.maximum(proj.depths[:, None], 1e-8)
-            hd_img, _ = rasterize_tiles(
-                proj.means2d, proj.conics, hard_op, inv_d, isects,
-                img_height, img_width, tile_size=cfg.tile_size,
-                max_per_tile=cfg.max_per_tile, chunk=cfg.chunk,
-                background=jnp.zeros(1, rgbs.dtype))
+            if use_pallas:
+                hd_img, hd_alpha = rasterize_pallas(
+                    proj.means2d, proj.conics, hard_op, inv_d,
+                    jnp.zeros_like(proj.means2d), isects_p, img_height,
+                    img_width, cfg.tile_size, cfg.pallas_chunk, False)
+            else:
+                hd_img, _ = rasterize_tiles(
+                    proj.means2d, proj.conics, hard_op, inv_d, isects,
+                    img_height, img_width, tile_size=cfg.tile_size,
+                    max_per_tile=cfg.max_per_tile, chunk=cfg.chunk,
+                    background=jnp.zeros(1, rgbs.dtype))
             hard_inv = hd_img[..., 0]
 
         acc_depth = img[..., idx["acc_depth"]] if "acc_depth" in idx else None
@@ -171,8 +199,8 @@ class TileRenderer:
             hard_inverse_depth=hard_inv,
             projections=proj,
             radii=proj.radii,
-            n_isects=isects.n_isects,
-            n_dropped=isects.n_dropped,
+            n_isects=n_isects,
+            n_dropped=n_dropped,
         )
 
     def get_available_outputs(self):

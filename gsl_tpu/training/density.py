@@ -113,12 +113,14 @@ def densify_and_prune(
     split_mask = high_grad & ~small
 
     # --- sample split offsets (std = activated scales, rotated) ---
+    # sdim is 3 for vanilla, 2 for 2DGS surfels (offsets in tangent plane)
+    sdim = p.scales.shape[-1]
     k1, k2 = jax.random.split(key)
     R = quat_to_rotmat(normalize_quat(p.rotations))          # [CAP, 3, 3]
-    eps1 = jax.random.normal(k1, (cap, 3), f32) * scales_act
-    eps2 = jax.random.normal(k2, (cap, 3), f32) * scales_act
-    off1 = jnp.einsum("nij,nj->ni", R, eps1)
-    off2 = jnp.einsum("nij,nj->ni", R, eps2)
+    eps1 = jax.random.normal(k1, (cap, sdim), f32) * scales_act
+    eps2 = jax.random.normal(k2, (cap, sdim), f32) * scales_act
+    off1 = jnp.einsum("nij,nj->ni", R[:, :, :sdim], eps1)
+    off2 = jnp.einsum("nij,nj->ni", R[:, :, :sdim], eps2)
     log_div = jnp.log(0.8 * 2.0)
 
     # split originals become child 1 in place

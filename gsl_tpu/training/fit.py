@@ -1,0 +1,214 @@
+"""End-to-end fit/validate loops — the analogue of `python main.py fit`
+(/root/reference/internal/gaussian_splatting.py + internal/cli.py surface).
+
+Responsibilities of the reference Lightning stack reproduced here:
+- setup from DataParserOutputs (point-cloud init, camera extent LR scaling),
+- the per-step schedule: train_step -> density ops (vanilla ADC or MCMC) ->
+  SH-degree warmup -> model hooks (Mip-Splatting 3D filter recompute),
+- checkpointing at save_iterations + train end; PLY export,
+- validation loop with PSNR/SSIM, per-image CSV + MEAN row
+  (gaussian_splatting.py:546-572).
+"""
+from __future__ import annotations
+
+import csv
+import dataclasses
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataparsers.dataparser import DataParserOutputs
+from ..data.dataset import CachedDataset, DataLoader
+from ..models.gaussian import VanillaGaussianConfig, GaussianState
+from ..models.mip_splatting import MipSplattingConfig, compute_3d_filter
+from ..ops.ssim import ssim as ssim_fn
+from ..training.mcmc import (MCMCDensityControllerConfig, mcmc_densify,
+                             mcmc_noise_step)
+from ..training.trainer import Trainer, TrainState
+from ..utils.checkpoint import save_checkpoint
+from ..utils.ply import save_state_ply
+from .metrics import psnr as psnr_fn
+from .schedulers import exponential_decay
+
+
+@dataclasses.dataclass
+class FitConfig:
+    max_steps: int = 30_000
+    save_iterations: Sequence[int] = (7_000, 30_000)
+    log_interval: int = 100
+    capacity_multiplier: float = 4.0
+    min_capacity: int = 1 << 15
+    seed: int = 42
+    output_dir: str = "outputs/run"
+    save_ply: bool = True
+
+
+def _round_capacity(n: int) -> int:
+    cap = 1 << 14
+    while cap < n:
+        cap <<= 1
+    return cap
+
+
+def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
+        val_at_end: bool = True):
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    # ---- init model from point cloud ----
+    pc = outputs.point_cloud
+    capacity = _round_capacity(
+        max(int(pc.xyz.shape[0] * cfg.capacity_multiplier),
+            cfg.min_capacity))
+    gaussians = trainer.model.init_from_pcd(pc.xyz, pc.rgb, capacity)
+
+    is_mip = isinstance(trainer.model, MipSplattingConfig)
+    train_cams = outputs.train_set.cameras
+    if is_mip:
+        f3d = compute_3d_filter(gaussians.params.means, gaussians.alive,
+                                train_cams)
+        gaussians = GaussianState(params=gaussians.params,
+                                  alive=gaussians.alive,
+                                  extra={"filter_3d": f3d})
+
+    state = trainer.setup(gaussians, outputs.camera_extent,
+                          outputs.prune_extent)
+    is_mcmc = isinstance(trainer.density_cfg, MCMCDensityControllerConfig)
+    means_lr_sched = exponential_decay(
+        lr_init=trainer.model.optimization.means_lr_init
+        * trainer.cameras_extent,
+        lr_final=trainer.model.optimization.means_lr_init
+        * trainer.model.optimization.means_lr_final_factor
+        * trainer.cameras_extent,
+        max_steps=trainer.model.optimization.means_lr_max_steps)
+
+    bg = jnp.asarray(trainer.config.background_color, jnp.float32)
+    dataset = CachedDataset(outputs.train_set,
+                            background=np.asarray(bg, np.float32))
+    loader = iter(DataLoader(dataset, seed=cfg.seed))
+
+    log_path = os.path.join(cfg.output_dir, "train_log.csv")
+    log_f = open(log_path, "w", newline="")
+    logger = csv.writer(log_f)
+    logger.writerow(["step", "loss", "n_gaussians", "steps_per_s"])
+
+    t_last = time.perf_counter()
+    mcmc_cfg = trainer.density_cfg if is_mcmc else None
+
+    @jax.jit
+    def _mcmc_density(state: TrainState, key):
+        gstate, opt_state, n_new = mcmc_densify(
+            key, state.gaussians, state.opt_state, mcmc_cfg)
+        return state.replace(params=gstate.params, alive=gstate.alive,
+                             opt_state=opt_state, extra=gstate.extra), n_new
+
+    @jax.jit
+    def _mcmc_noise(state: TrainState, key, lr):
+        gstate = mcmc_noise_step(key, state.gaussians, lr,
+                                 mcmc_cfg.noise_lr if mcmc_cfg else 5e5)
+        return state.replace(params=gstate.params)
+
+    for step in range(1, cfg.max_steps + 1):
+        cam, name, img = next(loader)
+        H, W = img.shape[:2]
+        sh_degree = trainer.sh_degree_at(step)
+        state, scalars = trainer.train_step(
+            state, cam, jnp.asarray(img), H, W, sh_degree, bg)
+
+        rng, k1, k2 = jax.random.split(rng, 3)
+        if is_mcmc:
+            d = mcmc_cfg
+            if (d.densify_from_iter < step < d.densify_until_iter
+                    and step % d.densification_interval == 0):
+                state, _ = _mcmc_density(state, k1)
+            if step < cfg.max_steps:
+                state = _mcmc_noise(state, k2,
+                                    means_lr_sched(jnp.asarray(step)))
+        else:
+            state = trainer.maybe_density_ops(state, k1, step)
+
+        # Mip-Splatting 3D filter recompute (mip_splatting.py:50-63)
+        if is_mip and step % trainer.model.filter_3d_update_interval == 0 \
+                and step + trainer.model.filter_3d_update_interval \
+                <= cfg.max_steps:
+            f3d = compute_3d_filter(state.params.means, state.alive,
+                                    train_cams)
+            state = state.replace(extra={"filter_3d": f3d})
+
+        if step % cfg.log_interval == 0:
+            dt = time.perf_counter() - t_last
+            t_last = time.perf_counter()
+            n_g = int(state.gaussians.n_alive)
+            logger.writerow([step, float(scalars["loss"]), n_g,
+                             round(cfg.log_interval / dt, 2)])
+            log_f.flush()
+
+        if step in cfg.save_iterations:
+            save_checkpoint(os.path.join(cfg.output_dir, "checkpoints"),
+                            state, step)
+            if cfg.save_ply:
+                save_state_ply(os.path.join(
+                    cfg.output_dir, "point_cloud",
+                    f"iteration_{step}", "point_cloud.ply"),
+                    state.gaussians)
+
+    if cfg.max_steps not in cfg.save_iterations:
+        save_checkpoint(os.path.join(cfg.output_dir, "checkpoints"), state,
+                        cfg.max_steps)
+        if cfg.save_ply:
+            save_state_ply(os.path.join(
+                cfg.output_dir, "point_cloud",
+                f"iteration_{cfg.max_steps}", "point_cloud.ply"),
+                state.gaussians)
+    log_f.close()
+
+    results = None
+    if val_at_end and len(outputs.val_set) > 0:
+        results = validate(trainer, state, outputs, cfg)
+    return state, results
+
+
+def validate(trainer: Trainer, state: TrainState,
+             outputs: DataParserOutputs, cfg: FitConfig,
+             split: str = "val", save_images: bool = False):
+    """Per-image PSNR/SSIM + CSV with MEAN row
+    (reference gaussian_splatting.py:546-572)."""
+    image_set = (outputs.val_set if split == "val" else outputs.test_set)
+    bg = jnp.asarray(trainer.config.background_color, jnp.float32)
+    dataset = CachedDataset(image_set, background=np.asarray(bg, np.float32))
+    sh_degree = trainer.model.sh_degree
+
+    rows = []
+    img_dir = os.path.join(cfg.output_dir, split)
+    if save_images:
+        os.makedirs(img_dir, exist_ok=True)
+    for i in range(len(dataset)):
+        cam, name, img = dataset.get(i)
+        H, W = img.shape[:2]
+        render, m = trainer.eval_step(state, cam, jnp.asarray(img), H, W,
+                                      sh_degree, bg)
+        s = float(ssim_fn(jnp.asarray(img).transpose(2, 0, 1),
+                          render.transpose(2, 0, 1)))
+        rows.append([name, float(m["psnr"]), s])
+        if save_images:
+            from PIL import Image
+            side = np.concatenate([img, np.asarray(render)], axis=1)
+            side = (np.clip(side, 0, 1) * 255).astype(np.uint8)
+            Image.fromarray(side).save(
+                os.path.join(img_dir, name.replace("/", "_") + ".png"))
+
+    metrics_dir = os.path.join(cfg.output_dir, "metrics")
+    os.makedirs(metrics_dir, exist_ok=True)
+    csv_path = os.path.join(metrics_dir, f"{split}.csv")
+    with open(csv_path, "w", newline="") as f:
+        wr = csv.writer(f)
+        wr.writerow(["name", "psnr", "ssim"])
+        wr.writerows(rows)
+        mean_psnr = float(np.mean([r[1] for r in rows]))
+        mean_ssim = float(np.mean([r[2] for r in rows]))
+        wr.writerow(["MEAN", mean_psnr, mean_ssim])
+    return {"psnr": mean_psnr, "ssim": mean_ssim, "csv": csv_path}

@@ -19,9 +19,18 @@ from ..ops.ssim import ssim
 class VanillaMetricsConfig:
     lambda_dssim: float = 0.2
     rgb_diff_loss: str = "l1"  # "l1" | "l2"
+    # MCMC regularizers (reference mcmc_metrics.py:28-66); 0 disables
+    opacity_reg: float = 0.0
+    scale_reg: float = 0.0
 
     def instantiate(self):
         return self
+
+
+@dataclasses.dataclass
+class MCMCMetricsConfig(VanillaMetricsConfig):
+    opacity_reg: float = 0.01
+    scale_reg: float = 0.01
 
 
 def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:

@@ -41,10 +41,12 @@ class TrainState:
     opt_state: Any
     density: DensityControlState
     step: jnp.ndarray  # int32
+    extra: Any = None  # non-trainable per-Gaussian properties
 
     @property
     def gaussians(self) -> GaussianState:
-        return GaussianState(params=self.params, alive=self.alive)
+        return GaussianState(params=self.params, alive=self.alive,
+                             extra=self.extra)
 
 
 @dataclasses.dataclass
@@ -96,7 +98,34 @@ class Trainer:
             opt_state=opt_state,
             density=init_density_state(gaussians.capacity),
             step=jnp.zeros((), jnp.int32),
+            extra=gaussians.extra,
         )
+
+    # ---- loss computation (override point for variant trainers) ----
+    def render_losses(self, gstate, camera, img_height, img_width, bg_color,
+                      sh_degree, gt_image, mask, tap, abstap, step):
+        out = self.renderer.forward(
+            gstate, camera, img_height, img_width, bg_color, sh_degree,
+            means2d_tap=tap, absgrad_tap=abstap)
+        loss, scalars = train_loss(
+            out.render, gt_image, mask,
+            lambda_dssim=self.metrics_cfg.lambda_dssim,
+            rgb_diff_loss=self.metrics_cfg.rgb_diff_loss)
+        # MCMC opacity/scale L1 regularizers (mcmc_metrics.py:28-66)
+        m = self.metrics_cfg
+        params = gstate.params
+        if m.opacity_reg > 0.0 or m.scale_reg > 0.0:
+            n_alive = jnp.maximum(
+                jnp.sum(gstate.alive.astype(jnp.float32)), 1.0)
+            if m.opacity_reg > 0.0:
+                loss = loss + m.opacity_reg * jnp.sum(
+                    jax.nn.sigmoid(params.opacities[:, 0])
+                    * gstate.alive) / n_alive
+            if m.scale_reg > 0.0:
+                loss = loss + m.scale_reg * jnp.sum(
+                    jnp.exp(params.scales)
+                    * gstate.alive[:, None]) / (3.0 * n_alive)
+        return loss, (scalars, out.radii, out.n_dropped)
 
     # ---- jitted step functions ----
     @functools.partial(jax.jit, static_argnames=(
@@ -106,26 +135,29 @@ class Trainer:
                    sh_degree: int, bg_color: jnp.ndarray,
                    mask: Optional[jnp.ndarray] = None):
         tap0 = jnp.zeros((state.params.capacity, 2), jnp.float32)
+        use_absgrad = self.density_cfg is not None and getattr(
+            self.density_cfg, "absgrad", False)
 
-        def loss_fn(params, tap):
-            gstate = GaussianState(params=params, alive=state.alive)
-            out = self.renderer.forward(
+        def loss_fn(params, tap, abstap):
+            gstate = GaussianState(params=params, alive=state.alive,
+                                   extra=state.extra)
+            return self.render_losses(
                 gstate, camera, img_height, img_width, bg_color, sh_degree,
-                means2d_tap=tap)
-            loss, scalars = train_loss(
-                out.render, gt_image, mask,
-                lambda_dssim=self.metrics_cfg.lambda_dssim,
-                rgb_diff_loss=self.metrics_cfg.rgb_diff_loss)
-            return loss, (scalars, out.radii, out.n_dropped)
+                gt_image, mask, tap, abstap, state.step)
 
-        (loss, (scalars, radii, n_dropped)), (pgrads, tap_grad) = (
-            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
-                state.params, tap0))
+        # absgrad (AbsGS) stats come from the Pallas backward's abs tap;
+        # only differentiate wrt it when configured (it is zero otherwise)
+        argnums = (0, 1, 2) if use_absgrad else (0, 1)
+        (loss, (scalars, radii, n_dropped)), grads = (
+            jax.value_and_grad(loss_fn, argnums=argnums, has_aux=True)(
+                state.params, tap0, jnp.zeros_like(tap0)))
+        pgrads, tap_grad = grads[0], grads[1]
+        stat_grad = grads[2] if use_absgrad else tap_grad
 
         gscale = viewspace_grad_scale(
             img_width, img_height,
             self.renderer_cfg.max_viewspace_grad_scale)
-        density = update_stats(state.density, tap_grad, radii, gscale)
+        density = update_stats(state.density, stat_grad, radii, gscale)
 
         updates, opt_state = self.tx.update(
             pgrads, state.opt_state, state.params)
@@ -133,7 +165,7 @@ class Trainer:
 
         new_state = TrainState(
             params=params, alive=state.alive, opt_state=opt_state,
-            density=density, step=state.step + 1)
+            density=density, step=state.step + 1, extra=state.extra)
         scalars = dict(scalars, n_dropped_isects=n_dropped)
         return new_state, scalars
 
@@ -146,7 +178,7 @@ class Trainer:
             use_size_prune)
         return TrainState(
             params=gstate.params, alive=gstate.alive, opt_state=opt_state,
-            density=density, step=state.step), n_trunc
+            density=density, step=state.step, extra=gstate.extra), n_trunc
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def opacity_reset_step(self, state: TrainState):
@@ -187,7 +219,7 @@ class Trainer:
                         params=gstate.params, alive=gstate.alive,
                         opt_state=opt_state,
                         density=init_density_state(gstate.capacity),
-                        step=state.step)
+                        step=state.step, extra=gstate.extra)
             white_bg = all(c == 1.0 for c in self.config.background_color)
             if (step % cfg.opacity_reset_interval == 0
                     or (white_bg and step == cfg.densify_from_iter)):

@@ -15,13 +15,31 @@ import jax
 import numpy as np
 
 
+def _pack_zero_size(tree):
+    """Orbax cannot store zero-size arrays (e.g. shs_rest at sh_degree 0);
+    swap them for 1-element placeholders (restored via the target)."""
+    def f(x):
+        if hasattr(x, "size") and x.size == 0:
+            return np.zeros((1,), x.dtype)
+        return x
+    return jax.tree.map(f, tree)
+
+
+def _unpack_zero_size(restored, target):
+    def f(r, t):
+        if hasattr(t, "size") and t.size == 0:
+            return t
+        return r
+    return jax.tree.map(f, restored, target)
+
+
 def save_checkpoint(ckpt_dir: str, state, step: Optional[int] = None):
     import orbax.checkpoint as ocp
 
     step = int(step if step is not None else state.step)
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, jax.device_get(state), force=True)
+        ckptr.save(path, _pack_zero_size(jax.device_get(state)), force=True)
     return path
 
 
@@ -46,7 +64,9 @@ def load_checkpoint(path: str, target,
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.abspath(path), item=target)
+        restored = ckptr.restore(os.path.abspath(path),
+                                 item=_pack_zero_size(target))
+    restored = _unpack_zero_size(restored, target)
     if drop_optimizer_states and hasattr(restored, "opt_state") \
             and hasattr(target, "opt_state"):
         restored = restored.replace(opt_state=target.opt_state)

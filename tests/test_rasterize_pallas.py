@@ -39,8 +39,8 @@ def test_pallas_forward_matches_jax(n, seed):
     isects = isect_encode_padded(proj, H, W, TS, capacity=8192, chunk=CHUNK)
     assert int(isects.n_dropped) == 0
     img_p, alpha_p = rasterize_pallas(
-        proj.means2d, proj.conics, opac, colors, isects, H, W, TS, CHUNK,
-        True)
+        proj.means2d, proj.conics, opac, colors,
+        jnp.zeros_like(proj.means2d), isects, H, W, TS, CHUNK, True)
     img_p = img_p + (1.0 - alpha_p)[..., None] * bg[None, None, :]
 
     np.testing.assert_allclose(np.asarray(alpha_p), np.asarray(alpha_ref),
@@ -68,7 +68,8 @@ def test_pallas_gradients_match_jax():
 
     def loss_pallas(means2d, conics, op, col):
         img, alpha = rasterize_pallas(
-            means2d, conics, op, col, isects, H, W, TS, CHUNK, True)
+            means2d, conics, op, col, jnp.zeros_like(means2d), isects,
+            H, W, TS, CHUNK, True)
         img = img + (1.0 - alpha)[..., None] * bg[None, None, :]
         return jnp.sum((img - target) ** 2) + 0.3 * jnp.sum(alpha ** 2)
 
@@ -98,6 +99,7 @@ def test_pallas_extra_channels():
 
     isects = isect_encode_padded(proj, H, W, TS, capacity=8192, chunk=CHUNK)
     img_p, alpha_p = rasterize_pallas(
-        proj.means2d, proj.conics, opac, ch, isects, H, W, TS, CHUNK, True)
+        proj.means2d, proj.conics, opac, ch, jnp.zeros_like(proj.means2d),
+        isects, H, W, TS, CHUNK, True)
     np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_ref),
                                rtol=1e-4, atol=1e-5)
