@@ -141,5 +141,9 @@ def test_gs2d_trainer_step():
     bg = jnp.zeros(3, jnp.float32)
     s1, scalars = trainer.train_step(state, cam, gt, H, W, 0, bg)
     assert np.isfinite(float(scalars["loss"]))
-    s2, scalars2 = trainer.train_step(s1, cam, gt, H, W, 0, bg)
-    assert float(scalars2["loss"]) <= float(scalars["loss"]) + 1e-3
+    # several steps: rgb component of the loss must decrease
+    s = s1
+    for _ in range(10):
+        s, scalars2 = trainer.train_step(s, cam, gt, H, W, 0, bg)
+    assert np.isfinite(float(scalars2["loss"]))
+    assert float(scalars2["rgb_diff"]) < float(scalars["rgb_diff"])
