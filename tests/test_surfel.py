@@ -137,13 +137,15 @@ def test_gs2d_trainer_step():
     state = trainer.setup(state0, cameras_extent=1.0)
 
     cam = simple_camera(W, H)
-    gt = jnp.zeros((H, W, 3), jnp.float32) + 0.4
+    # black target on black bg: training must push splat opacity down,
+    # monotonically shrinking the rgb loss
+    gt = jnp.zeros((H, W, 3), jnp.float32)
     bg = jnp.zeros(3, jnp.float32)
     s1, scalars = trainer.train_step(state, cam, gt, H, W, 0, bg)
     assert np.isfinite(float(scalars["loss"]))
-    # several steps: rgb component of the loss must decrease
+    assert float(scalars["rgb_diff"]) > 1e-4  # something rendered
     s = s1
-    for _ in range(10):
+    for _ in range(15):
         s, scalars2 = trainer.train_step(s, cam, gt, H, W, 0, bg)
     assert np.isfinite(float(scalars2["loss"]))
     assert float(scalars2["rgb_diff"]) < float(scalars["rgb_diff"])
