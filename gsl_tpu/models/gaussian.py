@@ -42,11 +42,14 @@ class GaussianParams:
     This struct IS the pytree passed to jax.grad and optax."""
 
     means: jnp.ndarray       # [CAP, 3]
-    scales: jnp.ndarray      # [CAP, 3] log-space
+    scales: jnp.ndarray      # [CAP, 3] log-space ([CAP, 2] for surfels)
     rotations: jnp.ndarray   # [CAP, 4] wxyz, unnormalized
     opacities: jnp.ndarray   # [CAP, 1] logit-space
     shs_dc: jnp.ndarray      # [CAP, 1, 3]
     shs_rest: jnp.ndarray    # [CAP, K-1, 3]
+    # optional extra trainable per-Gaussian property (e.g. 64-d appearance
+    # features, reference appearance_feature_gaussian.py:19-85)
+    appearance_features: Any = None
 
     @property
     def capacity(self) -> int:

@@ -99,6 +99,8 @@ class TileRenderer:
         means2d_tap: Optional[jnp.ndarray] = None,
         absgrad_tap: Optional[jnp.ndarray] = None,
         isect_capacity: Optional[int] = None,
+        rgbs_override: Optional[jnp.ndarray] = None,
+        opacity_offset: Optional[jnp.ndarray] = None,
     ) -> RenderOutputs:
         cfg = self.config
         cap = gaussians.capacity
@@ -117,8 +119,17 @@ class TileRenderer:
         if means2d_tap is not None:
             proj = proj._replace(means2d=proj.means2d + means2d_tap)
 
-        opacities = self.get_opacities(gaussians, camera, proj)
-        rgbs = self.get_rgbs(gaussians, camera, sh_degree)
+        if opacity_offset is not None:
+            # appearance opacity head: clamp(op + offset, max=1)
+            # (gsplat_appearance_embedding_renderer.py:288-293)
+            op = jnp.minimum(
+                gaussians.get_opacities()
+                + opacity_offset * gaussians.alive, 1.0)
+            opacities = op * proj.compensations if cfg.anti_aliased else op
+        else:
+            opacities = self.get_opacities(gaussians, camera, proj)
+        rgbs = (rgbs_override if rgbs_override is not None
+                else self.get_rgbs(gaussians, camera, sh_degree))
 
         # pack extra composited channels next to rgb
         channels = [rgbs]

@@ -147,17 +147,13 @@ def densify_and_prune(
     child_scales = jnp.where(is_split_child[:, None],
                              p.scales[src] - log_div, p.scales[src])
 
-    def scatter(dst_arr, values):
-        return dst_arr.at[dest].set(values, mode="drop")
-
-    params = params.replace(
-        means=scatter(params.means, child_means),
-        scales=scatter(params.scales, child_scales),
-        rotations=scatter(params.rotations, p.rotations[src]),
-        opacities=scatter(params.opacities, p.opacities[src]),
-        shs_dc=scatter(params.shs_dc, p.shs_dc[src]),
-        shs_rest=scatter(params.shs_rest, p.shs_rest[src]),
-    )
+    # new children copy source rows for every property (incl. optional
+    # extras like appearance_features), with means/scales overridden
+    child = jax.tree.map(lambda arr: arr[src], p)
+    child = child.replace(means=child_means, scales=child_scales)
+    params = jax.tree.map(
+        lambda dst_arr, values: dst_arr.at[dest].set(values, mode="drop"),
+        params, child)
     alive = alive.at[dest].set(True, mode="drop")
 
     # non-trainable extra properties: copy source rows into new slots

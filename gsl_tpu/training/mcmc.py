@@ -106,16 +106,10 @@ def _apply_relocation(params, dest_slots, dest_valid, targets_of_dest,
     tgt = jnp.minimum(targets_of_dest, cap - 1)
     dest = jnp.where(dest_valid, dest_slots, cap)
 
-    new_params = params.replace(
-        means=params.means.at[dest].set(params.means[tgt], mode="drop"),
-        rotations=params.rotations.at[dest].set(params.rotations[tgt],
-                                                mode="drop"),
-        shs_dc=params.shs_dc.at[dest].set(params.shs_dc[tgt], mode="drop"),
-        shs_rest=params.shs_rest.at[dest].set(params.shs_rest[tgt],
-                                              mode="drop"),
-        opacities=params.opacities.at[dest].set(o_new_raw[tgt], mode="drop"),
-        scales=params.scales.at[dest].set(s_new_raw[tgt], mode="drop"),
-    )
+    copied = jax.tree.map(lambda arr: arr[tgt], params)
+    copied = copied.replace(opacities=o_new_raw[tgt], scales=s_new_raw[tgt])
+    new_params = jax.tree.map(
+        lambda dst, val: dst.at[dest].set(val, mode="drop"), params, copied)
     # sampled targets get the corrected opacity/scale too
     was_target = counts > 0
     new_params = new_params.replace(

@@ -20,7 +20,9 @@ from .schedulers import exponential_decay
 
 
 def build_gaussian_optimizer(opt_cfg: OptimizationConfig,
-                             spatial_lr_scale: float):
+                             spatial_lr_scale: float,
+                             has_appearance_features: bool = False,
+                             appearance_feature_lr: float = 2e-3):
     """optax.multi_transform with one Adam per Gaussian property, reference
     LRs (means exp-decayed x spatial_lr_scale)."""
     scale = (opt_cfg.spatial_lr_scale
@@ -42,9 +44,14 @@ def build_gaussian_optimizer(opt_cfg: OptimizationConfig,
         "shs_dc": adam(opt_cfg.shs_dc_lr),
         "shs_rest": adam(opt_cfg.shs_dc_lr / opt_cfg.shs_rest_lr_div),
     }
+    af_label = None
+    if has_appearance_features:
+        transforms["appearance_features"] = adam(appearance_feature_lr)
+        af_label = "appearance_features"
     labels = GaussianParams(
         means="means", scales="scales", rotations="rotations",
         opacities="opacities", shs_dc="shs_dc", shs_rest="shs_rest",
+        appearance_features=af_label,
     )
     return optax.multi_transform(transforms, labels)
 

@@ -90,7 +90,9 @@ class Trainer:
             self.cameras_extent = self.density_cfg.scene_extent_override
             self.prune_extent = self.density_cfg.scene_extent_override
         self.tx = build_gaussian_optimizer(
-            self.model.optimization, spatial_lr_scale=self.cameras_extent)
+            self.model.optimization, spatial_lr_scale=self.cameras_extent,
+            has_appearance_features=(
+                gaussians.params.appearance_features is not None))
         opt_state = self.tx.init(gaussians.params)
         return TrainState(
             params=gaussians.params,
