@@ -205,15 +205,25 @@ def _alphas(geom, px, py):
     return a, keep, raw, dx, dy, ca[0], cb[0], cc[0], op[0], sigma
 
 
+def _pack_flags(isects: "PaddedIsects") -> jnp.ndarray:
+    """[G, 1] int32: bit0 valid, bit1 first, bit2 last, bits3+ chunk_in_tile
+    — one SMEM word per grid step instead of 5 prefetched arrays (the
+    schedule arrays overflow the 1MB SMEM budget at scale otherwise)."""
+    return (isects.valid_flag | (isects.first_flag << 1)
+            | (isects.last_flag << 2)
+            | (isects.chunk_in_tile << 3))[:, None].astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(
-    # scalar prefetch
-    tile_ref, first_ref, last_ref, valid_ref, cit_ref,
-    # inputs
-    geom_ref, color_ref,
+    # scalar prefetch (index maps need it): tile id per chunk
+    tile_ref,
+    # inputs: flags [1,1] SMEM block (bit0 valid, bit1 first, bit2 last,
+    # bits3+ chunk_in_tile), then the payload streams
+    flags_ref, geom_ref, color_ref,
     # outputs
     out_ref, tfin_ref, istop_ref,
     # scratch
@@ -222,20 +232,21 @@ def _fwd_kernel(
 ):
     k = pl.program_id(0)
     tile = tile_ref[k]
+    fl = flags_ref[0, 0]
     P = tile_size * tile_size
 
-    @pl.when(first_ref[k] == 1)
+    @pl.when(((fl >> 1) & 1) == 1)
     def _():
         acc[...] = jnp.zeros_like(acc)
         T[...] = jnp.ones_like(T)
         istop[...] = jnp.full_like(istop, BIG_I32)
 
-    @pl.when(valid_ref[k] == 1)
+    @pl.when((fl & 1) == 1)
     def _():
         px, py = _pixel_coords(tile, tiles_x, tile_size)
         a, *_ = _alphas(geom_ref[...], px, py)
 
-        base = cit_ref[k] * chunk
+        base = (fl >> 3) * chunk
         idx = base + lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
         not_done = idx < istop[...]
         a = jnp.where(not_done, a, 0.0)
@@ -263,7 +274,7 @@ def _fwd_kernel(
                             keepdims=True)
         istop[...] = jnp.minimum(istop[...], first_brk)
 
-    @pl.when(last_ref[k] == 1)
+    @pl.when(((fl >> 2) & 1) == 1)
     def _():
         out_ref[0] = acc[...]
         tfin_ref[0, 0] = T[...][:, 0]
@@ -277,17 +288,20 @@ def _rasterize_fwd_raw(geom_stream, color_stream, isects: PaddedIsects,
     G = isects.tile_of_chunk.shape[0]
     P = tile_size * tile_size
 
+    flags = _pack_flags(isects)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=1,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((8, chunk), lambda k, *refs: (0, k)),
-            pl.BlockSpec((C, chunk), lambda k, *refs: (0, k)),
+            pl.BlockSpec((1, 1), lambda k, t: (k, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, chunk), lambda k, t: (0, k)),
+            pl.BlockSpec((C, chunk), lambda k, t: (0, k)),
         ],
         out_specs=[
-            pl.BlockSpec((1, P, C), lambda k, t, f, l, v, c: (t[k], 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda k, t, f, l, v, c: (t[k], 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda k, t, f, l, v, c: (t[k], 0, 0)),
+            pl.BlockSpec((1, P, C), lambda k, t: (t[k], 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda k, t: (t[k], 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda k, t: (t[k], 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((P, C), jnp.float32),
@@ -305,8 +319,7 @@ def _rasterize_fwd_raw(geom_stream, color_stream, isects: PaddedIsects,
             jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.int32),
         ],
         interpret=interpret,
-    )(isects.tile_of_chunk, isects.first_flag, isects.last_flag,
-      isects.valid_flag, isects.chunk_in_tile, geom_stream, color_stream)
+    )(isects.tile_of_chunk, flags, geom_stream, color_stream)
     return out, tfin, istop
 
 
@@ -315,10 +328,12 @@ def _rasterize_fwd_raw(geom_stream, color_stream, isects: PaddedIsects,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(
-    # scalar prefetch (reversed schedule + stream positions)
-    pos_ref, tile_ref, first_rev_ref, valid_ref, cit_ref,
+    # scalar prefetch: tile id per (forward-order) chunk; this kernel walks
+    # the grid reversed, position = G-1-k
+    tile_ref,
     # inputs
-    geom_ref, color_ref, gout_ref, galpha_ref, tfin_ref, istop_ref,
+    flags_ref, geom_ref, color_ref, gout_ref, galpha_ref, tfin_ref,
+    istop_ref,
     # outputs
     dgeom_ref, dcolor_ref,
     # scratch
@@ -327,11 +342,14 @@ def _bwd_kernel(
     bg_dot_g_on: bool,
 ):
     k = pl.program_id(0)
-    tile = tile_ref[k]
+    pos = pl.num_programs(0) - 1 - k
+    tile = tile_ref[pos]
+    fl = flags_ref[0, 0]
     P = tile_size * tile_size
 
-    # init per-tile carries on the first (reverse-order) chunk of the tile
-    @pl.when(first_rev_ref[k] == 1)
+    # init per-tile carries on the tile's LAST forward chunk (first seen in
+    # the reverse walk)
+    @pl.when(((fl >> 2) & 1) == 1)
     def _():
         tf = tfin_ref[0, 0][:, None]                  # [P, 1]
         galpha = galpha_ref[0, 0][:, None]
@@ -341,13 +359,13 @@ def _bwd_kernel(
         T_run[...] = tf
         cg_gal[...] = jnp.zeros_like(cg_gal)
 
-    @pl.when(valid_ref[k] == 1)
+    @pl.when((fl & 1) == 1)
     def _():
         px, py = _pixel_coords(tile, tiles_x, tile_size)
         geom = geom_ref[...]
         a, keep, raw, dx, dy, ca, cb, cc, op, sigma = _alphas(geom, px, py)
 
-        base = cit_ref[k] * chunk
+        base = (fl >> 3) * chunk
         idx = base + lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
         comp = keep & (idx < istop_ref[0, 0][:, None])
         a = jnp.where(comp, a, 0.0)
@@ -407,7 +425,7 @@ def _bwd_kernel(
             -jnp.sum(lf, axis=1, keepdims=True))
         Sg[...] = Sg[...] + jnp.sum(q, axis=1, keepdims=True)
 
-    @pl.when(valid_ref[k] == 0)
+    @pl.when((fl & 1) == 0)
     def _():
         dgeom_ref[...] = jnp.zeros_like(dgeom_ref)
         dcolor_ref[...] = jnp.zeros_like(dcolor_ref)
@@ -420,33 +438,28 @@ def _rasterize_bwd_raw(geom_stream, color_stream, gout, galpha_eff, tfin,
     C = color_stream.shape[0]
     G = isects.tile_of_chunk.shape[0]
     P = tile_size * tile_size
+    flags = _pack_flags(isects)
 
-    # reversed schedule: process chunk positions G-1 .. 0
-    pos = isects.tile_of_chunk.shape[0] - 1 - jnp.arange(G, dtype=jnp.int32)
-    tile_rev = isects.tile_of_chunk[pos]
-    valid_rev = isects.valid_flag[pos]
-    cit_rev = isects.chunk_in_tile[pos]
-    first_rev = isects.last_flag[pos]   # tile's LAST chunk comes first now
+    # the reverse walk indexes everything at pos = G-1-k inside index maps
+    def rev(idx_fn):
+        return lambda k, t: idx_fn(G - 1 - k, t)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=1,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((8, chunk),
-                         lambda k, p, t, f, v, c: (0, p[k])),
-            pl.BlockSpec((C, chunk),
-                         lambda k, p, t, f, v, c: (0, p[k])),
-            pl.BlockSpec((1, P, C),
-                         lambda k, p, t, f, v, c: (t[k], 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda k, p, t, f, v, c: (t[k], 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda k, p, t, f, v, c: (t[k], 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda k, p, t, f, v, c: (t[k], 0, 0)),
+            pl.BlockSpec((1, 1), rev(lambda p, t: (p, 0)),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, chunk), rev(lambda p, t: (0, p))),
+            pl.BlockSpec((C, chunk), rev(lambda p, t: (0, p))),
+            pl.BlockSpec((1, P, C), rev(lambda p, t: (t[p], 0, 0))),
+            pl.BlockSpec((1, 1, P), rev(lambda p, t: (t[p], 0, 0))),
+            pl.BlockSpec((1, 1, P), rev(lambda p, t: (t[p], 0, 0))),
+            pl.BlockSpec((1, 1, P), rev(lambda p, t: (t[p], 0, 0))),
         ],
         out_specs=[
-            pl.BlockSpec((8, chunk),
-                         lambda k, p, t, f, v, c: (0, p[k])),
-            pl.BlockSpec((C, chunk),
-                         lambda k, p, t, f, v, c: (0, p[k])),
+            pl.BlockSpec((8, chunk), rev(lambda p, t: (0, p))),
+            pl.BlockSpec((C, chunk), rev(lambda p, t: (0, p))),
         ],
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),   # T_run
@@ -463,8 +476,8 @@ def _rasterize_bwd_raw(geom_stream, color_stream, gout, galpha_eff, tfin,
             jax.ShapeDtypeStruct(color_stream.shape, jnp.float32),
         ],
         interpret=interpret,
-    )(pos, tile_rev, first_rev, valid_rev, cit_rev,
-      geom_stream, color_stream, gout, galpha_eff, tfin, istop)
+    )(isects.tile_of_chunk, flags, geom_stream, color_stream, gout,
+      galpha_eff, tfin, istop)
     return dgeom, dcolor
 
 

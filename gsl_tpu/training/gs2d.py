@@ -26,7 +26,8 @@ class GS2DTrainer(Trainer):
     """Trainer using a SurfelRenderer + GS2DMetricsConfig."""
 
     def render_losses(self, gstate, camera, img_height, img_width, bg_color,
-                      sh_degree, gt_image, mask, tap, abstap, step):
+                      sh_degree, gt_image, mask, tap, abstap, step,
+                      aux_inputs=None):
         out = self.renderer.forward(
             gstate, camera, img_height, img_width, bg_color, sh_degree,
             means2d_tap=tap)

@@ -105,7 +105,8 @@ class Trainer:
 
     # ---- loss computation (override point for variant trainers) ----
     def render_losses(self, gstate, camera, img_height, img_width, bg_color,
-                      sh_degree, gt_image, mask, tap, abstap, step):
+                      sh_degree, gt_image, mask, tap, abstap, step,
+                      aux_inputs=None):
         out = self.renderer.forward(
             gstate, camera, img_height, img_width, bg_color, sh_degree,
             means2d_tap=tap, absgrad_tap=abstap)
@@ -135,7 +136,8 @@ class Trainer:
     def train_step(self, state: TrainState, camera: Cameras,
                    gt_image: jnp.ndarray, img_height: int, img_width: int,
                    sh_degree: int, bg_color: jnp.ndarray,
-                   mask: Optional[jnp.ndarray] = None):
+                   mask: Optional[jnp.ndarray] = None,
+                   aux_inputs=None):
         tap0 = jnp.zeros((state.params.capacity, 2), jnp.float32)
         use_absgrad = self.density_cfg is not None and getattr(
             self.density_cfg, "absgrad", False)
@@ -145,7 +147,8 @@ class Trainer:
                                    extra=state.extra)
             return self.render_losses(
                 gstate, camera, img_height, img_width, bg_color, sh_degree,
-                gt_image, mask, tap, abstap, state.step)
+                gt_image, mask, tap, abstap, state.step,
+                aux_inputs=aux_inputs)
 
         # absgrad (AbsGS) stats come from the Pallas backward's abs tap;
         # only differentiate wrt it when configured (it is zero otherwise)
