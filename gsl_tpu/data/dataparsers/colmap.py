@@ -36,6 +36,8 @@ class ColmapDataParserConfig:
     eval_list: Optional[str] = None
     scene_scale: float = 1.0
     appearance_groups: Optional[str] = None
+    image_list: Optional[str] = None
+    """restrict to the image names in this file (partition training)"""
     max_point_error: float = -1.0
     points_from: Literal["sfm", "random"] = "sfm"
     random_point_count: int = 100_000
@@ -73,6 +75,10 @@ class ColmapDataParser(DataParser):
             f"_{cfg.down_sample_factor}")
 
         items = sorted(model.images.values(), key=lambda im: im.name)
+        if cfg.image_list:
+            with open(cfg.image_list) as f:
+                allowed = {ln.strip() for ln in f if ln.strip()}
+            items = [im for im in items if im.name in allowed]
         names, paths, Rs, Ts = [], [], [], []
         fx, fy, cx, cy, ws, hs = [], [], [], [], [], []
         for im in items:
