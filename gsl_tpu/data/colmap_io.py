@@ -164,6 +164,14 @@ def read_images_bin(path: str) -> Dict[int, ColmapImage]:
 
 
 def read_points3d_bin(path: str):
+    # fast path: C++ reader (gsl_tpu/native/colmap_reader.cpp)
+    try:
+        from ..native import read_points3d_native
+        res = read_points3d_native(path)
+        if res is not None:
+            return res
+    except Exception:
+        pass
     with open(path, "rb") as f:
         (n,) = _read("<Q", f)
         xyz = np.empty((n, 3), np.float64)
