@@ -159,6 +159,12 @@ def main(argv=None):
     outputs = dataparser_cfg.instantiate().get_outputs()
 
     if args.subcommand == "fit":
+        # snapshot the resolved config into the run dir
+        # (reference save_config_kwargs, internal/entrypoints/gspl.py:36)
+        os.makedirs(fit_cfg.output_dir, exist_ok=True)
+        with open(os.path.join(fit_cfg.output_dir, "config.yaml"),
+                  "w") as f:
+            yaml.safe_dump(cfg, f)
         state, results = fit(trainer, outputs, fit_cfg)
         if results:
             print(f"val: psnr={results['psnr']:.3f} "
