@@ -211,7 +211,7 @@ def _pack_flags(isects: "PaddedIsects") -> jnp.ndarray:
     schedule arrays overflow the 1MB SMEM budget at scale otherwise)."""
     return (isects.valid_flag | (isects.first_flag << 1)
             | (isects.last_flag << 2)
-            | (isects.chunk_in_tile << 3))[:, None].astype(jnp.int32)
+            | (isects.chunk_in_tile << 3)).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -219,11 +219,11 @@ def _pack_flags(isects: "PaddedIsects") -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(
-    # scalar prefetch (index maps need it): tile id per chunk
-    tile_ref,
-    # inputs: flags [1,1] SMEM block (bit0 valid, bit1 first, bit2 last,
-    # bits3+ chunk_in_tile), then the payload streams
-    flags_ref, geom_ref, color_ref,
+    # scalar prefetch: tile id per chunk (used by the index maps) + packed
+    # flags (bit0 valid, bit1 first, bit2 last, bits3+ chunk_in_tile)
+    tile_ref, flags_ref,
+    # inputs
+    geom_ref, color_ref,
     # outputs
     out_ref, tfin_ref, istop_ref,
     # scratch
@@ -232,7 +232,7 @@ def _fwd_kernel(
 ):
     k = pl.program_id(0)
     tile = tile_ref[k]
-    fl = flags_ref[0, 0]
+    fl = flags_ref[k]
     P = tile_size * tile_size
 
     @pl.when(((fl >> 1) & 1) == 1)
@@ -290,18 +290,16 @@ def _rasterize_fwd_raw(geom_stream, color_stream, isects: PaddedIsects,
 
     flags = _pack_flags(isects)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda k, t: (k, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, chunk), lambda k, t: (0, k)),
-            pl.BlockSpec((C, chunk), lambda k, t: (0, k)),
+            pl.BlockSpec((8, chunk), lambda k, t, f: (0, k)),
+            pl.BlockSpec((C, chunk), lambda k, t, f: (0, k)),
         ],
         out_specs=[
-            pl.BlockSpec((1, P, C), lambda k, t: (t[k], 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda k, t: (t[k], 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda k, t: (t[k], 0, 0)),
+            pl.BlockSpec((1, P, C), lambda k, t, f: (t[k], 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda k, t, f: (t[k], 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda k, t, f: (t[k], 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((P, C), jnp.float32),
@@ -328,12 +326,11 @@ def _rasterize_fwd_raw(geom_stream, color_stream, isects: PaddedIsects,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(
-    # scalar prefetch: tile id per (forward-order) chunk; this kernel walks
-    # the grid reversed, position = G-1-k
-    tile_ref,
+    # scalar prefetch: tile ids + packed flags (forward order); this kernel
+    # walks the grid reversed, position = G-1-k
+    tile_ref, flags_ref,
     # inputs
-    flags_ref, geom_ref, color_ref, gout_ref, galpha_ref, tfin_ref,
-    istop_ref,
+    geom_ref, color_ref, gout_ref, galpha_ref, tfin_ref, istop_ref,
     # outputs
     dgeom_ref, dcolor_ref,
     # scratch
@@ -344,7 +341,7 @@ def _bwd_kernel(
     k = pl.program_id(0)
     pos = pl.num_programs(0) - 1 - k
     tile = tile_ref[pos]
-    fl = flags_ref[0, 0]
+    fl = flags_ref[pos]
     P = tile_size * tile_size
 
     # init per-tile carries on the tile's LAST forward chunk (first seen in
@@ -442,14 +439,12 @@ def _rasterize_bwd_raw(geom_stream, color_stream, gout, galpha_eff, tfin,
 
     # the reverse walk indexes everything at pos = G-1-k inside index maps
     def rev(idx_fn):
-        return lambda k, t: idx_fn(G - 1 - k, t)
+        return lambda k, t, f: idx_fn(G - 1 - k, t)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, 1), rev(lambda p, t: (p, 0)),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((8, chunk), rev(lambda p, t: (0, p))),
             pl.BlockSpec((C, chunk), rev(lambda p, t: (0, p))),
             pl.BlockSpec((1, P, C), rev(lambda p, t: (t[p], 0, 0))),
