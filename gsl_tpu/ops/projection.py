@@ -57,11 +57,32 @@ def project_gaussians(
     depths = p_cam[..., 2]
     depth_ok = depths >= min_depth
 
-    # 3D covariance Sigma = (R S)(R S)^T
+    # rotation matrix components from quats (explicit scalars: batched
+    # [N,3,3] tensors compile pathologically slowly on TPU)
     q = normalize_quat(quats)
-    Rg = quat_to_rotmat(q)                      # [N, 3, 3]
-    M = Rg * (scales * scale_modifier)[..., None, :]
-    cov3d = M @ jnp.swapaxes(M, -1, -2)         # [N, 3, 3]
+    w, x, y, zq = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1.0 - 2.0 * (y * y + zq * zq)
+    r01 = 2.0 * (x * y - w * zq)
+    r02 = 2.0 * (x * zq + w * y)
+    r10 = 2.0 * (x * y + w * zq)
+    r11 = 1.0 - 2.0 * (x * x + zq * zq)
+    r12 = 2.0 * (y * zq - w * x)
+    r20 = 2.0 * (x * zq - w * y)
+    r21 = 2.0 * (y * zq + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    s0 = scales[..., 0] * scale_modifier
+    s1 = scales[..., 1] * scale_modifier
+    s2 = scales[..., 2] * scale_modifier
+    # M = R diag(s); Sigma = M M^T, 6 unique entries
+    m00, m01, m02 = r00 * s0, r01 * s1, r02 * s2
+    m10, m11, m12 = r10 * s0, r11 * s1, r12 * s2
+    m20, m21, m22 = r20 * s0, r21 * s1, r22 * s2
+    sig00 = m00 * m00 + m01 * m01 + m02 * m02
+    sig01 = m00 * m10 + m01 * m11 + m02 * m12
+    sig02 = m00 * m20 + m01 * m21 + m02 * m22
+    sig11 = m10 * m10 + m11 * m11 + m12 * m12
+    sig12 = m10 * m20 + m11 * m21 + m12 * m22
+    sig22 = m20 * m20 + m21 * m21 + m22 * m22
 
     # EWA Jacobian with fov clamping (gaussian_projection.py:257-287)
     tan_fovx = (0.5 * img_width) / fx
@@ -77,15 +98,23 @@ def project_gaussians(
     j11 = fy * inv_z
     j12 = -fy * ty * inv_z * inv_z
     # rows of T: T0 = j00*R0 + j02*R2 ; T1 = j11*R1 + j12*R2
-    T0 = j00[..., None] * R_wc[0] + j02[..., None] * R_wc[2]   # [N, 3]
-    T1 = j11[..., None] * R_wc[1] + j12[..., None] * R_wc[2]   # [N, 3]
+    t00 = j00 * R_wc[0, 0] + j02 * R_wc[2, 0]
+    t01 = j00 * R_wc[0, 1] + j02 * R_wc[2, 1]
+    t02 = j00 * R_wc[0, 2] + j02 * R_wc[2, 2]
+    t10 = j11 * R_wc[1, 0] + j12 * R_wc[2, 0]
+    t11 = j11 * R_wc[1, 1] + j12 * R_wc[2, 1]
+    t12 = j11 * R_wc[1, 2] + j12 * R_wc[2, 2]
 
-    # cov2d = T Sigma T^T (2x2 symmetric -> 3 numbers)
-    S_T0 = jnp.einsum("nij,nj->ni", cov3d, T0)
-    S_T1 = jnp.einsum("nij,nj->ni", cov3d, T1)
-    c00 = jnp.einsum("ni,ni->n", T0, S_T0)
-    c01 = jnp.einsum("ni,ni->n", T0, S_T1)
-    c11 = jnp.einsum("ni,ni->n", T1, S_T1)
+    # cov2d = T Sigma T^T (2x2 symmetric -> 3 numbers), fully elementwise
+    st00 = sig00 * t00 + sig01 * t01 + sig02 * t02
+    st01 = sig01 * t00 + sig11 * t01 + sig12 * t02
+    st02 = sig02 * t00 + sig12 * t01 + sig22 * t02
+    su00 = sig00 * t10 + sig01 * t11 + sig02 * t12
+    su01 = sig01 * t10 + sig11 * t11 + sig12 * t12
+    su02 = sig02 * t10 + sig12 * t11 + sig22 * t12
+    c00 = t00 * st00 + t01 * st01 + t02 * st02
+    c01 = t10 * st00 + t11 * st01 + t12 * st02
+    c11 = t10 * su00 + t11 * su01 + t12 * su02
 
     det_orig = c00 * c11 - c01 * c01
     c00 = c00 + filter_2d
