@@ -99,14 +99,28 @@ def isect_encode_padded(
     depths = jnp.where(valid, projections.depths[g_safe], jnp.inf)
     gauss_ids = jnp.where(valid, g_safe, n_gauss).astype(jnp.int32)
 
-    sorted_tiles, _, sorted_gauss = lax.sort(
-        (tile_ids, depths.astype(jnp.float32), gauss_ids), num_keys=2)
+    # single packed sort key: [tile | float-depth bits] — one uint32
+    # comparison instead of a 2-key lexicographic sort (XLA's TPU sort is the
+    # dominant cost of binning; the key trick halves operands and compares).
+    # Positive-float IEEE bits are monotone, so the top (32 - tile_bits)
+    # bits of the depth order correctly; ties within ~10-bit mantissa
+    # granularity fall back to (stable) gaussian order.
+    tile_bits = max(int(np.ceil(np.log2(n_tiles + 1))), 1)
+    depth_bits = 32 - tile_bits
+    dbits = lax.bitcast_convert_type(
+        jnp.maximum(depths.astype(jnp.float32), 0.0), jnp.uint32)
+    key = ((tile_ids.astype(jnp.uint32) << depth_bits)
+           | (dbits >> tile_bits))
+    sorted_keys, sorted_gauss = lax.sort((key, gauss_ids), num_keys=1)
+    sorted_tiles = (sorted_keys >> depth_bits).astype(jnp.int32)
 
-    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
-    tile_starts = jnp.searchsorted(sorted_tiles, tile_range,
+    tile_range = jnp.arange(n_tiles, dtype=jnp.uint32) << depth_bits
+    tile_starts = jnp.searchsorted(sorted_keys, tile_range,
                                    side="left").astype(jnp.int32)
-    tile_ends = jnp.searchsorted(sorted_tiles, tile_range,
-                                 side="right").astype(jnp.int32)
+    tile_ends = jnp.searchsorted(
+        sorted_keys, jnp.arange(1, n_tiles + 1,
+                                dtype=jnp.uint32) << depth_bits,
+        side="left").astype(jnp.int32)
     counts = tile_ends - tile_starts
 
     # --- padded layout ---
@@ -156,23 +170,26 @@ def isect_encode_padded(
 
 
 def _gather_streams(means2d, conics, opacities, channels, padded_ids):
-    """Field-major payload streams with a trailing dummy zero row."""
+    """Field-major payload streams with a trailing dummy zero row.
+
+    Gathers run per-field on 1-D arrays (XLA's fastest gather shape; a
+    single [rows, n] take(axis=1) is an order of magnitude slower on TPU).
+    """
     n, c = channels.shape
     zrow = jnp.zeros((1,), means2d.dtype)
-    geom = jnp.stack([
-        jnp.concatenate([means2d[:, 0], zrow]),
-        jnp.concatenate([means2d[:, 1], zrow]),
-        jnp.concatenate([conics[:, 0], zrow]),
-        jnp.concatenate([conics[:, 1], zrow]),
-        jnp.concatenate([conics[:, 2], zrow]),
-        jnp.concatenate([opacities, zrow]),
-        jnp.zeros((n + 1,), means2d.dtype),
-        jnp.zeros((n + 1,), means2d.dtype),
-    ], axis=0)                                        # [8, n+1]
-    colors = jnp.concatenate(
-        [channels, jnp.zeros((1, c), channels.dtype)], axis=0).T  # [c, n+1]
-    geom_stream = jnp.take(geom, padded_ids, axis=1)
-    color_stream = jnp.take(colors, padded_ids, axis=1)
+
+    def take1(col):
+        return jnp.take(jnp.concatenate([col, zrow]), padded_ids, axis=0)
+
+    m = padded_ids.shape[0]
+    zeros_row = jnp.zeros((m,), means2d.dtype)
+    geom_stream = jnp.stack([
+        take1(means2d[:, 0]), take1(means2d[:, 1]),
+        take1(conics[:, 0]), take1(conics[:, 1]), take1(conics[:, 2]),
+        take1(opacities), zeros_row, zeros_row,
+    ], axis=0)                                        # [8, m]
+    color_stream = jnp.stack([take1(channels[:, i]) for i in range(c)],
+                             axis=0)                  # [c, m]
     return geom_stream, color_stream
 
 
@@ -507,7 +524,8 @@ def rasterize_pallas(means2d, conics, opacities, channels, absgrad_tap,
 
 
 def _fwd_impl(means2d, conics, opacities, channels, isects,
-              img_height, img_width, tile_size, chunk, interpret):
+              img_height, img_width, tile_size, chunk, interpret,
+              want_streams=False):
     tiles_x = -(-img_width // tile_size)
     tiles_y = -(-img_height // tile_size)
     n_tiles = tiles_x * tiles_y
@@ -526,16 +544,19 @@ def _fwd_impl(means2d, conics, opacities, channels, isects,
     alpha = _tiles_to_image(1.0 - tfin_t.transpose(0, 2, 1), tiles_y,
                             tiles_x, ts,
                             img_height, img_width)[..., 0]
+    if want_streams:
+        return (out, alpha), tfin_t, istop_t, geom_s, color_s
     return (out, alpha), tfin_t, istop_t
 
 
 def _rasterize_fwd(means2d, conics, opacities, channels, absgrad_tap,
                    isects, img_height, img_width, tile_size, chunk,
                    interpret):
-    (out, alpha), tfin_t, istop_t = _fwd_impl(
+    (out, alpha), tfin_t, istop_t, geom_s, color_s = _fwd_impl(
         means2d, conics, opacities, channels, isects, img_height, img_width,
-        tile_size, chunk, interpret)
-    res = (means2d, conics, opacities, channels, isects, tfin_t, istop_t)
+        tile_size, chunk, interpret, want_streams=True)
+    n = means2d.shape[0]
+    res = (geom_s, color_s, isects, tfin_t, istop_t, n)
     return (out, alpha), res
 
 
@@ -552,16 +573,13 @@ def _image_to_tiles(img, tiles_y, tiles_x, ts):
 
 def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
                    res, cotangents):
-    means2d, conics, opacities, channels, isects, tfin_t, istop_t = res
+    geom_s, color_s, isects, tfin_t, istop_t, n = res
     g_out, g_alpha = cotangents
     tiles_x = -(-img_width // tile_size)
     tiles_y = -(-img_height // tile_size)
     n_tiles = tiles_x * tiles_y
     ts = tile_size
-    n = means2d.shape[0]
 
-    geom_s, color_s = _gather_streams(means2d, conics, opacities, channels,
-                                      isects.padded_ids)
     gout_t = _image_to_tiles(g_out, tiles_y, tiles_x, ts)       # [T, P, C]
     galpha_t = _image_to_tiles(g_alpha, tiles_y, tiles_x,
                                ts).transpose(0, 2, 1)  # [T, 1, P]
