@@ -87,16 +87,38 @@ def isect_encode_padded(
     total = cum[-1]
     offsets = cum - num_hit
 
+    # slot -> gaussian assignment. A searchsorted with `capacity` queries is
+    # a 20-round binary-search gather (~100x slower than everything else);
+    # instead scatter each gaussian's id at its start offset and cummax:
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    g = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
-    valid = slots < jnp.minimum(total, capacity)
-    g_safe = jnp.minimum(g, n_gauss - 1)
-    local = slots - offsets[g_safe]
-    w = jnp.maximum(rect_w[g_safe], 1)
-    t_y = rect_min[g_safe, 1] + local // w
-    t_x = rect_min[g_safe, 0] + local % w
+    gidx = jnp.arange(n_gauss, dtype=jnp.int32)
+    start_marks = jnp.zeros((capacity,), jnp.int32).at[
+        jnp.where(num_hit > 0, offsets, capacity)].max(
+        gidx + 1, mode="drop")
+    g_safe = jnp.maximum(jax.lax.cummax(start_marks) - 1, 0)
+    valid = (slots < jnp.minimum(total, capacity)) \
+        & (jax.lax.cummax(start_marks) > 0)
+
+    # one batched gather for all per-gaussian fields (ints bitcast to f32)
+    packed = jnp.stack([
+        lax.bitcast_convert_type(offsets, jnp.float32),
+        lax.bitcast_convert_type(rect_min[:, 0], jnp.float32),
+        lax.bitcast_convert_type(rect_min[:, 1], jnp.float32),
+        lax.bitcast_convert_type(jnp.maximum(rect_w, 1), jnp.float32),
+        projections.depths.astype(jnp.float32),
+    ], axis=0)                                       # [5, N]
+    got = jnp.take(packed, g_safe, axis=1)           # [5, capacity]
+    off_s = lax.bitcast_convert_type(got[0], jnp.int32)
+    rminx = lax.bitcast_convert_type(got[1], jnp.int32)
+    rminy = lax.bitcast_convert_type(got[2], jnp.int32)
+    w_s = lax.bitcast_convert_type(got[3], jnp.int32)
+    depth_s = got[4]
+
+    local = slots - off_s
+    t_y = rminy + local // w_s
+    t_x = rminx + local % w_s
     tile_ids = jnp.where(valid, t_y * tiles_x + t_x, n_tiles).astype(jnp.int32)
-    depths = jnp.where(valid, projections.depths[g_safe], jnp.inf)
+    depths = jnp.where(valid, depth_s, jnp.inf)
     gauss_ids = jnp.where(valid, g_safe, n_gauss).astype(jnp.int32)
 
     # single packed sort key: [tile | float-depth bits] — one uint32
@@ -131,7 +153,9 @@ def isect_encode_padded(
 
     s = jnp.arange(capacity, dtype=jnp.int32)
     st = jnp.minimum(sorted_tiles, n_tiles - 1)
-    newpos = padded_starts[st] + (s - tile_starts[st])
+    packed_ts = jnp.stack([padded_starts, tile_starts], axis=0)  # [2, T]
+    got_ts = jnp.take(packed_ts, st, axis=1)
+    newpos = got_ts[0] + (s - got_ts[1])
     newpos = jnp.where(sorted_tiles < n_tiles, newpos, capacity_padded)
     padded_ids = jnp.full((capacity_padded,), n_gauss, jnp.int32)
     padded_ids = padded_ids.at[newpos].set(sorted_gauss, mode="drop")
