@@ -39,8 +39,11 @@ def main():
     state = _synthetic_state(n, cap, sh_degree=sh_degree, seed=0)
     cam = make_camera(R=np.eye(3), T=np.zeros(3), fx=1600.0, fy=1600.0,
                       cx=W / 2, cy=H / 2, width=W, height=H)
+    isect_cap = int(os.environ.get("BENCH_ISECT_CAP", str(1 << 23)))
     renderer = TileRendererConfig(
-        max_per_tile=4096, chunk=128, min_isect_capacity=1 << 23,
+        max_per_tile=4096, chunk=128,
+        pallas_chunk=int(os.environ.get("BENCH_CHUNK", "128")),
+        min_isect_capacity=isect_cap, isect_capacity_factor=1,
     ).instantiate()
     bg = jnp.zeros(3, jnp.float32)
     target = jnp.full((H, W, 3), 0.4, jnp.float32)

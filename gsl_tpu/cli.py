@@ -45,6 +45,31 @@ _REGISTRY = {
 }
 
 
+def _register_extra():
+    from .data.dataparsers.estimated_depth_colmap import (
+        EstimatedDepthColmapDataParserConfig)
+    from .data.dataparsers.nsvf import NSVFDataParserConfig
+    from .data.dataparsers.phototourism import PhotoTourismDataParserConfig
+    from .models.gaussian_2d import Gaussian2DConfig
+    from .models.appearance import AppearanceFeatureGaussianConfig
+    from .renderers.surfel_renderer import SurfelRendererConfig
+    from .training.gs2d import GS2DMetricsConfig
+    from .training.depth_trainer import DepthMetricsConfig
+    _REGISTRY.update({
+        "EstimatedDepthColmap": EstimatedDepthColmapDataParserConfig,
+        "NSVF": NSVFDataParserConfig,
+        "PhotoTourism": PhotoTourismDataParserConfig,
+        "Gaussian2D": Gaussian2DConfig,
+        "AppearanceFeatureGaussian": AppearanceFeatureGaussianConfig,
+        "SurfelRenderer": SurfelRendererConfig,
+        "GS2DMetrics": GS2DMetricsConfig,
+        "DepthMetrics": DepthMetricsConfig,
+    })
+
+
+_register_extra()
+
+
 def _resolve_class(path: str):
     if path in _REGISTRY:
         return _REGISTRY[path]
@@ -127,8 +152,16 @@ def build_components(cfg: Dict):
     trainer_cfg = _build(TrainerConfig, cfg.get("trainer"))
     fit_cfg = _build(FitConfig, cfg.get("fit"))
 
-    trainer = Trainer(model=model, renderer=renderer, density=density,
-                      metrics=metrics, config=trainer_cfg)
+    # variant trainers selected by metric/renderer type
+    from .training.depth_trainer import DepthMetricsConfig, DepthTrainer
+    from .training.gs2d import GS2DMetricsConfig, GS2DTrainer
+    trainer_cls = Trainer
+    if isinstance(metrics, GS2DMetricsConfig):
+        trainer_cls = GS2DTrainer
+    elif isinstance(metrics, DepthMetricsConfig):
+        trainer_cls = DepthTrainer
+    trainer = trainer_cls(model=model, renderer=renderer, density=density,
+                          metrics=metrics, config=trainer_cfg)
     return trainer, dataparser_cfg, fit_cfg
 
 

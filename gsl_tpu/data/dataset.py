@@ -105,3 +105,23 @@ class DataLoader:
                 yield q.get()
         finally:
             stop.set()
+
+
+def add_background_sphere(point_cloud, camera_centers: np.ndarray,
+                          distance: float = 2.2, n_points: int = 204_800,
+                          seed: int = 7):
+    """Append a sphere of random points around the scene so the sky/background
+    has gaussians to use (reference dataset.py:457 `_build_background_sphere`,
+    graphdeco-inria/gaussian-splatting#300)."""
+    from .dataparsers.dataparser import PointCloud
+
+    center = camera_centers.mean(axis=0)
+    radius = float(np.linalg.norm(camera_centers - center, axis=-1).max())
+    rng = np.random.RandomState(seed)
+    d = rng.normal(size=(n_points, 3))
+    d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    xyz = center + d * radius * distance
+    rgb = rng.uniform(0.0, 1.0, size=(n_points, 3)).astype(np.float32)
+    return PointCloud(
+        xyz=np.concatenate([point_cloud.xyz, xyz.astype(np.float32)]),
+        rgb=np.concatenate([point_cloud.rgb, rgb]))

@@ -45,6 +45,9 @@ class FitConfig:
     seed: int = 42
     output_dir: str = "outputs/run"
     save_ply: bool = True
+    add_background_sphere: bool = False
+    background_sphere_distance: float = 2.2
+    background_sphere_points: int = 204_800
 
 
 def _round_capacity(n: int) -> int:
@@ -61,6 +64,14 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
 
     # ---- init model from point cloud ----
     pc = outputs.point_cloud
+    if cfg.add_background_sphere:
+        from ..data.dataset import add_background_sphere
+        centers = np.stack([
+            np.asarray(outputs.train_set.cameras[i].camera_center)
+            for i in range(len(outputs.train_set))])
+        pc = add_background_sphere(pc, centers,
+                                   cfg.background_sphere_distance,
+                                   cfg.background_sphere_points)
     capacity = _round_capacity(
         max(int(pc.xyz.shape[0] * cfg.capacity_multiplier),
             cfg.min_capacity))
@@ -99,6 +110,10 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
     t_last = time.perf_counter()
     mcmc_cfg = trainer.density_cfg if is_mcmc else None
 
+    # adaptive tile-intersection capacity: start tight, grow 2x whenever the
+    # binning reports drops (bucketed-recompile policy, SURVEY.md hard part 2)
+    isect_capacity = _round_capacity(max(8 * pc.xyz.shape[0], 1 << 18))
+
     @jax.jit
     def _mcmc_density(state: TrainState, key):
         gstate, opt_state, n_new = mcmc_densify(
@@ -117,7 +132,11 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
         H, W = img.shape[:2]
         sh_degree = trainer.sh_degree_at(step)
         state, scalars = trainer.train_step(
-            state, cam, jnp.asarray(img), H, W, sh_degree, bg)
+            state, cam, jnp.asarray(img), H, W, sh_degree, bg,
+            isect_capacity=isect_capacity)
+        if step % 50 == 0 and int(scalars["n_dropped_isects"]) > 0:
+            isect_capacity *= 2
+            print(f"[fit] isect capacity -> {isect_capacity}")
 
         rng, k1, k2 = jax.random.split(rng, 3)
         if is_mcmc:

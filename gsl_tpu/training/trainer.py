@@ -106,10 +106,11 @@ class Trainer:
     # ---- loss computation (override point for variant trainers) ----
     def render_losses(self, gstate, camera, img_height, img_width, bg_color,
                       sh_degree, gt_image, mask, tap, abstap, step,
-                      aux_inputs=None):
+                      aux_inputs=None, isect_capacity=None):
         out = self.renderer.forward(
             gstate, camera, img_height, img_width, bg_color, sh_degree,
-            means2d_tap=tap, absgrad_tap=abstap)
+            means2d_tap=tap, absgrad_tap=abstap,
+            isect_capacity=isect_capacity)
         loss, scalars = train_loss(
             out.render, gt_image, mask,
             lambda_dssim=self.metrics_cfg.lambda_dssim,
@@ -132,12 +133,12 @@ class Trainer:
 
     # ---- jitted step functions ----
     @functools.partial(jax.jit, static_argnames=(
-        "self", "img_height", "img_width", "sh_degree"))
+        "self", "img_height", "img_width", "sh_degree", "isect_capacity"))
     def train_step(self, state: TrainState, camera: Cameras,
                    gt_image: jnp.ndarray, img_height: int, img_width: int,
                    sh_degree: int, bg_color: jnp.ndarray,
                    mask: Optional[jnp.ndarray] = None,
-                   aux_inputs=None):
+                   aux_inputs=None, isect_capacity: Optional[int] = None):
         tap0 = jnp.zeros((state.params.capacity, 2), jnp.float32)
         use_absgrad = self.density_cfg is not None and getattr(
             self.density_cfg, "absgrad", False)
@@ -148,7 +149,7 @@ class Trainer:
             return self.render_losses(
                 gstate, camera, img_height, img_width, bg_color, sh_degree,
                 gt_image, mask, tap, abstap, state.step,
-                aux_inputs=aux_inputs)
+                aux_inputs=aux_inputs, isect_capacity=isect_capacity)
 
         # absgrad (AbsGS) stats come from the Pallas backward's abs tap;
         # only differentiate wrt it when configured (it is zero otherwise)
