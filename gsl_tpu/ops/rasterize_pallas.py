@@ -151,14 +151,23 @@ def isect_encode_padded(
     cum_padded = jnp.cumsum(padded_counts)
     padded_starts = cum_padded - padded_counts
 
-    s = jnp.arange(capacity, dtype=jnp.int32)
-    st = jnp.minimum(sorted_tiles, n_tiles - 1)
-    packed_ts = jnp.stack([padded_starts, tile_starts], axis=0)  # [2, T]
-    got_ts = jnp.take(packed_ts, st, axis=1)
-    newpos = got_ts[0] + (s - got_ts[1])
-    newpos = jnp.where(sorted_tiles < n_tiles, newpos, capacity_padded)
-    padded_ids = jnp.full((capacity_padded,), n_gauss, jnp.int32)
-    padded_ids = padded_ids.at[newpos].set(sorted_gauss, mode="drop")
+    # padded layout built by GATHER (an 8M-row scatter measures ~3x slower
+    # than gather on TPU): for each padded slot q, its tile comes from a
+    # cummax over small scattered tile marks, and its source sorted index is
+    # tile_starts[tile] + (q - padded_starts[tile]).
+    q = jnp.arange(capacity_padded, dtype=jnp.int32)
+    tmark = jnp.zeros((capacity_padded,), jnp.int32).at[
+        jnp.where(padded_counts > 0, padded_starts, capacity_padded)].max(
+        jnp.arange(n_tiles, dtype=jnp.int32) + 1, mode="drop")
+    tile_of_q = jax.lax.cummax(tmark) - 1           # -1 before first tile
+    t_safe = jnp.maximum(tile_of_q, 0)
+    packed_ts = jnp.stack([tile_starts, padded_starts, counts], axis=0)
+    got_ts = jnp.take(packed_ts, t_safe, axis=1)    # [3, capacity_padded]
+    local_q = q - got_ts[1]
+    src = jnp.clip(got_ts[0] + local_q, 0, capacity - 1)
+    valid_q = (tile_of_q >= 0) & (local_q < got_ts[2])
+    padded_ids = jnp.where(valid_q, jnp.take(sorted_gauss, src, axis=0),
+                           n_gauss)
 
     # --- chunk schedule ---
     cum_chunks = jnp.cumsum(chunks_per_tile)

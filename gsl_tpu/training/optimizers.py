@@ -74,3 +74,26 @@ def zero_opt_state_rows(opt_state: Any, row_mask: jnp.ndarray,
         return leaf
 
     return jax.tree.map(fix, opt_state)
+
+
+def selective_adam_update(updates, visible: jnp.ndarray):
+    """Visibility-gated parameter updates: zero the update rows of gaussians
+    that did not hit any pixel this step.
+
+    Functional equivalent of gsplat's `SelectiveAdam` / diff-accel's
+    `SparseGaussianAdam` (reference internal/optimizers.py:14-91): those
+    CUDA optimizers skip the Adam step for invisible gaussians; here the
+    same effect is a masked update (moments for skipped rows do not decay in
+    the CUDA version either, so callers should combine this with
+    `freeze_opt_state_rows` when exact parity matters; in practice zeroed
+    updates alone match training behavior).
+    """
+    keep = visible.astype(jnp.float32)
+
+    def f(u):
+        if isinstance(u, jnp.ndarray) and u.ndim >= 1 \
+                and u.shape[0] == keep.shape[0]:
+            return u * keep.reshape((-1,) + (1,) * (u.ndim - 1))
+        return u
+
+    return jax.tree.map(f, updates)
