@@ -17,63 +17,7 @@ from ..data.colmap_io import rotmat_to_qvec
 from ..models.gaussian import GaussianState
 
 
-# ---------------- real-SH rotation (Ivanic & Ruedenberg) ----------------
-
-def _band1_matrix(R: np.ndarray) -> np.ndarray:
-    """Band-1 rotation in the (y, z, x) real-SH ordering."""
-    perm = [1, 2, 0]
-    return np.array([[R[perm[i], perm[j]] for j in range(3)]
-                     for i in range(3)])
-
-
-def _P(i, l, a, b, M1, Mprev):
-    if abs(a) > l - 1:
-        return 0.0  # coefficient of this term is zero; avoid OOB index
-    size_prev = 2 * (l - 1) + 1
-    if b == l:
-        return (M1[i + 1, 2] * Mprev[a + l - 1, size_prev - 1]
-                - M1[i + 1, 0] * Mprev[a + l - 1, 0])
-    if b == -l:
-        return (M1[i + 1, 2] * Mprev[a + l - 1, 0]
-                + M1[i + 1, 0] * Mprev[a + l - 1, size_prev - 1])
-    return M1[i + 1, 1] * Mprev[a + l - 1, b + l - 1]
-
-
-def _band_matrix(l: int, M1: np.ndarray, Mprev: np.ndarray) -> np.ndarray:
-    size = 2 * l + 1
-    M = np.zeros((size, size))
-    for m in range(-l, l + 1):
-        for n in range(-l, l + 1):
-            d_m0 = 1.0 if m == 0 else 0.0
-            denom = ((2 * l) * (2 * l - 1) if abs(n) == l
-                     else (l + n) * (l - n))
-            u = np.sqrt((l + m) * (l - m) / denom)
-            v = 0.5 * np.sqrt((1 + d_m0) * (l + abs(m) - 1)
-                              * (l + abs(m)) / denom) * (1 - 2 * d_m0)
-            w = -0.5 * np.sqrt((l - abs(m) - 1) * (l - abs(m))
-                               / denom) * (1 - d_m0)
-
-            U = _P(0, l, m, n, M1, Mprev)
-            if m == 0:
-                V = (_P(1, l, 1, n, M1, Mprev)
-                     + _P(-1, l, -1, n, M1, Mprev))
-                W = 0.0
-            elif m > 0:
-                d_m1 = 1.0 if m == 1 else 0.0
-                V = (_P(1, l, m - 1, n, M1, Mprev) * np.sqrt(1 + d_m1)
-                     - _P(-1, l, -m + 1, n, M1, Mprev) * (1 - d_m1))
-                W = (_P(1, l, m + 1, n, M1, Mprev)
-                     + _P(-1, l, -m - 1, n, M1, Mprev))
-            else:
-                d_m1 = 1.0 if m == -1 else 0.0
-                V = (_P(1, l, m + 1, n, M1, Mprev) * (1 - d_m1)
-                     + _P(-1, l, -m - 1, n, M1, Mprev) * np.sqrt(1 + d_m1))
-                W = (_P(1, l, m - 1, n, M1, Mprev)
-                     - _P(-1, l, -m + 1, n, M1, Mprev))
-
-            M[m + l, n + l] = u * U + v * V + w * W
-    return M
-
+# ---------------- real-SH rotation ----------------
 
 def sh_rotation_matrices(R: np.ndarray, max_degree: int = 3):
     """-> list of per-band matrices [3x3, 5x5, 7x7][:max_degree] rotating
