@@ -50,6 +50,9 @@ def _register_extra():
         EstimatedDepthColmapDataParserConfig)
     from .data.dataparsers.nsvf import NSVFDataParserConfig
     from .data.dataparsers.phototourism import PhotoTourismDataParserConfig
+    from .data.dataparsers.matrix_city import MatrixCityDataParserConfig
+    from .data.dataparsers.nerfies import NerfiesDataParserConfig
+    from .data.dataparsers.segany_colmap import SegAnyColmapDataParserConfig
     from .models.gaussian_2d import Gaussian2DConfig
     from .models.appearance import AppearanceFeatureGaussianConfig
     from .renderers.surfel_renderer import SurfelRendererConfig
@@ -59,6 +62,9 @@ def _register_extra():
         "EstimatedDepthColmap": EstimatedDepthColmapDataParserConfig,
         "NSVF": NSVFDataParserConfig,
         "PhotoTourism": PhotoTourismDataParserConfig,
+        "MatrixCity": MatrixCityDataParserConfig,
+        "Nerfies": NerfiesDataParserConfig,
+        "SegAnyColmap": SegAnyColmapDataParserConfig,
         "Gaussian2D": Gaussian2DConfig,
         "AppearanceFeatureGaussian": AppearanceFeatureGaussianConfig,
         "SurfelRenderer": SurfelRendererConfig,
