@@ -56,6 +56,10 @@ def project_gaussians(
     p_cam = means3d @ R_wc.T + t_wc  # [N, 3]
     depths = p_cam[..., 2]
     depth_ok = depths >= min_depth
+    # NaN hygiene: culled gaussians (z <= 0 etc.) must not produce inf/NaN
+    # INSIDE the masked branches — 0 * inf = NaN leaks through jnp.where in
+    # the backward pass and poisons the optimizer moments of dead slots.
+    z_safe = jnp.where(depth_ok, depths, 1.0)
 
     # rotation matrix components from quats (explicit scalars: batched
     # [N,3,3] tensors compile pathologically slowly on TPU)
@@ -87,8 +91,8 @@ def project_gaussians(
     # EWA Jacobian with fov clamping (gaussian_projection.py:257-287)
     tan_fovx = (0.5 * img_width) / fx
     tan_fovy = (0.5 * img_height) / fy
-    z = depths
-    inv_z = 1.0 / z
+    z = z_safe
+    inv_z = 1.0 / z_safe
     tx = jnp.clip(p_cam[..., 0] * inv_z, -1.3 * tan_fovx, 1.3 * tan_fovx) * z
     ty = jnp.clip(p_cam[..., 1] * inv_z, -1.3 * tan_fovy, 1.3 * tan_fovy) * z
 
@@ -120,10 +124,11 @@ def project_gaussians(
     c00 = c00 + filter_2d
     c11 = c11 + filter_2d
     det = c00 * c11 - c01 * c01
-    compensations = jnp.sqrt(jnp.maximum(det_orig / det, 0.0))
-
     det_ok = det > 0.0
-    inv_det = jnp.where(det_ok, 1.0 / det, 0.0)
+    det_safe = jnp.where(det_ok, det, 1.0)
+    compensations = jnp.sqrt(
+        jnp.maximum(det_orig / det_safe, 1e-12))   # sqrt grad finite at ~0
+    inv_det = jnp.where(det_ok, 1.0 / det_safe, 0.0)
     conics = jnp.stack([c11 * inv_det, -c01 * inv_det, c00 * inv_det], axis=-1)
 
     # project mean to pixel coords (no +0.5 here; rasterizer adds it)

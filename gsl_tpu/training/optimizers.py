@@ -64,13 +64,13 @@ def zero_opt_state_rows(opt_state: Any, row_mask: jnp.ndarray,
     `replace_tensors_to_optimizers_` zeroing exp_avg/exp_avg_sq for replaced
     rows. Applies to every optimizer-state leaf whose leading dim == capacity.
     """
-    keep = (~row_mask).astype(jnp.float32)
-
     def fix(leaf):
         if isinstance(leaf, jnp.ndarray) and leaf.ndim >= 1 \
                 and leaf.shape[0] == capacity and jnp.issubdtype(
                     leaf.dtype, jnp.floating):
-            return leaf * keep.reshape((capacity,) + (1,) * (leaf.ndim - 1))
+            m = row_mask.reshape((capacity,) + (1,) * (leaf.ndim - 1))
+            # jnp.where (not multiply): a NaN moment times 0 stays NaN
+            return jnp.where(m, 0.0, leaf)
         return leaf
 
     return jax.tree.map(fix, opt_state)
