@@ -422,21 +422,18 @@ def _bwd_kernel(
         tri_ge = (lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
                   >= lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1))
         S_inc = jnp.dot(lf, tri_ge.astype(lf.dtype),
-                        preferred_element_type=jnp.float32,
-                        precision=lax.Precision.HIGHEST)
+                        preferred_element_type=jnp.float32)
         T_exc = T_run[...] * jnp.exp(-S_inc)          # T before gaussian i
 
         g = gout_ref[0]                               # [P, C]
         colors = color_ref[...]                       # [C, K]
-        cg = jnp.dot(g, colors, preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)       # [P, K]
+        cg = jnp.dot(g, colors, preferred_element_type=jnp.float32)
 
         q = a * T_exc * cg                            # [P, K] (comp-masked)
         tri_gt = (lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
                   > lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1))
         Sq_strict = jnp.dot(q, tri_gt.astype(q.dtype),
-                            preferred_element_type=jnp.float32,
-                            precision=lax.Precision.HIGHEST)
+                            preferred_element_type=jnp.float32)
         Sg_i = Sg[...] + Sq_strict
 
         one_minus = jnp.maximum(1.0 - a, 1e-3)
@@ -446,8 +443,7 @@ def _bwd_kernel(
         # color grads [C, K] = g^T @ w (contract over pixels)
         dcolor_ref[...] = lax.dot_general(
             g, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST)
+            preferred_element_type=jnp.float32)
 
         not_clamped = raw < MAX_ALPHA
         dsigma = jnp.where(not_clamped, -a * dalpha, 0.0)
@@ -624,12 +620,9 @@ def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
         n_tiles, tiles_x, ts, chunk, interpret)
 
     ids = isects.padded_ids
-    # one batched segment-sum over all slot-gradient rows (per-row calls pay
-    # a fixed dispatch cost each on TPU)
     all_rows = jnp.concatenate(
         [dgeom_s[:6], jnp.abs(dgeom_s[0:2]), dcolor_s], axis=0)  # [8+C, m]
-    summed = jax.ops.segment_sum(all_rows.T, ids,
-                                 num_segments=n + 1)[:n]         # [n, 8+C]
+    summed = _segment_sum_by_sort(all_rows, ids, n + 1)[:n]      # [n, 8+C]
     d_means2d = summed[:, 0:2]
     d_conics = summed[:, 2:5]
     d_opac = summed[:, 5]
@@ -641,6 +634,32 @@ def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
 
 
 rasterize_pallas.defvjp(_rasterize_fwd, _rasterize_bwd)
+
+
+def _segment_sum_by_sort(rows: jnp.ndarray, ids: jnp.ndarray,
+                         num_segments: int) -> jnp.ndarray:
+    """Per-gaussian reduction of [R, m] slot rows: sort by id, prefix-sum,
+    difference at segment boundaries. An order of magnitude faster than
+    XLA's scatter-add segment_sum for multi-row data at 8M slots."""
+    m = ids.shape[0]
+    slot = jnp.arange(m, dtype=jnp.int32)
+    sorted_ids, order = jax.lax.sort((ids, slot), num_keys=1)
+    rows_sorted = jnp.take(rows, order, axis=1)        # [R, m]
+    prefix = jnp.cumsum(rows_sorted.astype(jnp.float32), axis=1)
+    # first/last sorted position of each id
+    first = jnp.full((num_segments,), m, jnp.int32).at[sorted_ids].min(
+        slot, mode="drop")
+    last = jnp.full((num_segments,), -1, jnp.int32).at[sorted_ids].max(
+        slot, mode="drop")
+    has = last >= 0
+    last_s = jnp.clip(last, 0, m - 1)
+    first_s = jnp.clip(first, 0, m - 1)
+    hi = jnp.take(prefix, last_s, axis=1)              # [R, num_segments]
+    lo_idx = first_s - 1
+    lo = jnp.where(lo_idx[None, :] >= 0,
+                   jnp.take(prefix, jnp.maximum(lo_idx, 0), axis=1), 0.0)
+    out = jnp.where(has[None, :], hi - lo, 0.0)
+    return out.T                                       # [num_segments, R]
 
 
 def absgrad_from_slots(dgeom_s, padded_ids, n):
