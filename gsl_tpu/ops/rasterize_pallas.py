@@ -277,7 +277,7 @@ def _fwd_kernel(
     # outputs
     out_ref, tfin_ref, istop_ref,
     # scratch
-    acc, T, istop,
+    acc, T, istop, alldone,
     *, tiles_x: int, tile_size: int, chunk: int, n_channels: int,
 ):
     k = pl.program_id(0)
@@ -290,8 +290,11 @@ def _fwd_kernel(
         acc[...] = jnp.zeros_like(acc)
         T[...] = jnp.ones_like(T)
         istop[...] = jnp.full_like(istop, BIG_I32)
+        alldone[0] = 0
 
-    @pl.when((fl & 1) == 1)
+    # early exit: once every pixel broke (T <= 1e-4), remaining chunks of
+    # the tile are no-ops (the CUDA kernel's per-pixel `done` break)
+    @pl.when(((fl & 1) == 1) & (alldone[0] == 0))
     def _():
         px, py = _pixel_coords(tile, tiles_x, tile_size)
         a, *_ = _alphas(geom_ref[...], px, py)
@@ -323,6 +326,7 @@ def _fwd_kernel(
         first_brk = jnp.min(jnp.where(brk, idx, BIG_I32), axis=1,
                             keepdims=True)
         istop[...] = jnp.minimum(istop[...], first_brk)
+        alldone[0] = jnp.all(istop[...] < BIG_I32).astype(jnp.int32)
 
     @pl.when(((fl >> 2) & 1) == 1)
     def _():
@@ -355,6 +359,7 @@ def _rasterize_fwd_raw(geom_stream, color_stream, isects: PaddedIsects,
             pltpu.VMEM((P, C), jnp.float32),
             pltpu.VMEM((P, 1), jnp.float32),
             pltpu.VMEM((P, 1), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     out, tfin, istop = pl.pallas_call(
@@ -384,7 +389,7 @@ def _bwd_kernel(
     # outputs
     dgeom_ref, dcolor_ref,
     # scratch
-    T_run, Sg, cg_gal,
+    T_run, Sg, max_istop,
     *, tiles_x: int, tile_size: int, chunk: int, n_channels: int,
     bg_dot_g_on: bool,
 ):
@@ -404,9 +409,14 @@ def _bwd_kernel(
         # galpha' (see wrapper), so here: Sg = -T_final * galpha'
         Sg[...] = -tf * galpha
         T_run[...] = tf
-        cg_gal[...] = jnp.zeros_like(cg_gal)
+        max_istop[0] = jnp.max(
+            jnp.minimum(istop_ref[0, 0], BIG_I32 - 1)) + 1
 
-    @pl.when((fl & 1) == 1)
+    # chunks whose whole index range lies past every pixel's break point
+    # contribute zero gradient; write zeros and skip the math
+    active = ((fl & 1) == 1) & ((fl >> 3) * chunk < max_istop[0])
+
+    @pl.when(active)
     def _():
         px, py = _pixel_coords(tile, tiles_x, tile_size)
         geom = geom_ref[...]
@@ -468,7 +478,7 @@ def _bwd_kernel(
             -jnp.sum(lf, axis=1, keepdims=True))
         Sg[...] = Sg[...] + jnp.sum(q, axis=1, keepdims=True)
 
-    @pl.when((fl & 1) == 0)
+    @pl.when(jnp.logical_not(active))
     def _():
         dgeom_ref[...] = jnp.zeros_like(dgeom_ref)
         dcolor_ref[...] = jnp.zeros_like(dcolor_ref)
@@ -505,7 +515,7 @@ def _rasterize_bwd_raw(geom_stream, color_stream, gout, galpha_eff, tfin,
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),   # T_run
             pltpu.VMEM((P, 1), jnp.float32),   # Sg carry
-            pltpu.VMEM((P, 1), jnp.float32),   # (reserved)
+            pltpu.SMEM((1,), jnp.int32),       # max istop (early exit)
         ],
     )
     dgeom, dcolor = pl.pallas_call(
