@@ -110,12 +110,13 @@ class TileRenderer:
         use_pallas = cfg.backend == "pallas" or (
             cfg.backend == "auto" and jax.default_backend() == "tpu")
 
-        scales = self.get_scales(gaussians, camera) * scaling_modifier
-        proj = project_gaussians(
-            gaussians.get_means(), scales, gaussians.get_rotations(),
-            camera.world_to_camera, camera.fx, camera.fy, camera.cx,
-            camera.cy, img_width, img_height,
-            filter_2d=cfg.filter_2d_kernel_size)
+        with jax.named_scope("gs_project"):
+            scales = self.get_scales(gaussians, camera) * scaling_modifier
+            proj = project_gaussians(
+                gaussians.get_means(), scales, gaussians.get_rotations(),
+                camera.world_to_camera, camera.fx, camera.fy, camera.cx,
+                camera.cy, img_width, img_height,
+                filter_2d=cfg.filter_2d_kernel_size)
         if means2d_tap is not None:
             proj = proj._replace(means2d=proj.means2d + means2d_tap)
 
@@ -155,13 +156,15 @@ class TileRenderer:
             absgrad_tap = jnp.zeros_like(proj.means2d)
 
         if use_pallas:
-            isects_p = isect_encode_padded(
-                proj, img_height, img_width, cfg.tile_size, isect_capacity,
-                cfg.pallas_chunk)
-            img_nobg, alpha = rasterize_pallas(
-                proj.means2d, proj.conics, opacities, ch, absgrad_tap,
-                isects_p, img_height, img_width, cfg.tile_size,
-                cfg.pallas_chunk, False)
+            with jax.named_scope("gs_isect"):
+                isects_p = isect_encode_padded(
+                    proj, img_height, img_width, cfg.tile_size,
+                    isect_capacity, cfg.pallas_chunk)
+            with jax.named_scope("gs_rasterize"):
+                img_nobg, alpha = rasterize_pallas(
+                    proj.means2d, proj.conics, opacities, ch, absgrad_tap,
+                    isects_p, img_height, img_width, cfg.tile_size,
+                    cfg.pallas_chunk, False)
             img = img_nobg + (1.0 - alpha)[..., None] * bgv[None, None, :]
             n_isects, n_dropped = isects_p.n_isects, isects_p.n_dropped
         else:

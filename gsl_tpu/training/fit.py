@@ -52,6 +52,13 @@ class FitConfig:
     """TPU f32 matmuls/convs default to bf16 passes; 'highest' recovers
     training quality (+1.3dB on the synthetic e2e benchmark) at modest
     cost — the hot Pallas kernels set their own precision explicitly."""
+    tensorboard: bool = False
+    lg_prune_steps: Sequence[int] = ()
+    """LightGaussian importance-prune steps
+    (reference gaussian_splatting.py:399-444)"""
+    lg_prune_percent: float = 0.6
+    lg_prune_decay: float = 0.6
+    lg_n_cameras: int = 8
 
 
 def _round_capacity(n: int) -> int:
@@ -108,6 +115,14 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
     dataset = CachedDataset(outputs.train_set,
                             background=np.asarray(bg, np.float32))
     loader = iter(DataLoader(dataset, seed=cfg.seed))
+
+    tb_writer = None
+    if cfg.tensorboard:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            tb_writer = SummaryWriter(os.path.join(cfg.output_dir, "tb"))
+        except Exception as e:
+            print(f"[fit] tensorboard unavailable: {e}")
 
     log_path = os.path.join(cfg.output_dir, "train_log.csv")
     log_f = open(log_path, "w", newline="")
@@ -172,6 +187,38 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
             logger.writerow([step, float(scalars["loss"]), n_g,
                              round(cfg.log_interval / dt, 2)])
             log_f.flush()
+            if tb_writer is not None:
+                tb_writer.add_scalar("train/loss", float(scalars["loss"]),
+                                     step)
+                tb_writer.add_scalar("train/n_gaussians", n_g, step)
+
+        if step in cfg.lg_prune_steps:
+            # LightGaussian importance pruning
+            from .light_gaussian import (accumulate_blend_weights,
+                                         prune_by_importance)
+            n_prunes_done = sum(1 for s2 in cfg.lg_prune_steps if s2 < step)
+            pct = cfg.lg_prune_percent * (cfg.lg_prune_decay
+                                          ** n_prunes_done)
+            sample = [outputs.train_set.cameras[i] for i in
+                      np.linspace(0, len(outputs.train_set) - 1,
+                                  min(cfg.lg_n_cameras,
+                                      len(outputs.train_set))).astype(int)]
+            gstate = state.gaussians
+
+            def render_fn(gs, camera, bias):
+                out = trainer.renderer.forward(
+                    gs, camera, int(camera.height), int(camera.width), bg,
+                    trainer.sh_degree_at(step),
+                    rgbs_override=trainer.renderer.get_rgbs(
+                        gs, camera, trainer.sh_degree_at(step))
+                    + bias[:, None])
+                return out.render
+
+            imp = accumulate_blend_weights(render_fn, gstate, sample)
+            gstate, opt_state2, n_pruned = prune_by_importance(
+                gstate, state.opt_state, imp, pct)
+            state = state.replace(alive=gstate.alive, opt_state=opt_state2)
+            print(f"[fit] LightGaussian pruned {int(n_pruned)} at {step}")
 
         if step in cfg.save_iterations:
             save_checkpoint(os.path.join(cfg.output_dir, "checkpoints"),
