@@ -75,6 +75,7 @@ class ColmapDataParser(DataParser):
             f"_{cfg.down_sample_factor}")
 
         items = sorted(model.images.values(), key=lambda im: im.name)
+        distortions = []
         if cfg.image_list:
             with open(cfg.image_list) as f:
                 allowed = {ln.strip() for ln in f if ln.strip()}
@@ -97,6 +98,8 @@ class ColmapDataParser(DataParser):
             ws.append(int(round(cam.width * scale)))
             hs.append(int(round(cam.height * scale)))
 
+        for im in items:
+            distortions.append(model.cameras[im.camera_id].distortion)
         n = len(names)
         cams = Cameras(
             R=np.stack(Rs).astype(np.float32),
@@ -131,6 +134,7 @@ class ColmapDataParser(DataParser):
                 image_names=[names[i] for i in sel],
                 image_paths=[paths[i] for i in sel],
                 cameras=cams[np.asarray(sel)],
+                extra_data={"distortion": [distortions[i] for i in sel]},
             )
 
         train_set = subset(train_mask)

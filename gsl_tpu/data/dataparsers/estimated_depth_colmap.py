@@ -67,7 +67,8 @@ class EstimatedDepthColmapDataParser(ColmapDataParser):
                     else:
                         entry = {"path": dpath, "scale": 1.0, "offset": 0.0}
                 depth_info.append(entry)
-            image_set.extra_data = {"depth": depth_info}
+            image_set.extra_data = {**(image_set.extra_data or {}),
+                                    "depth": depth_info}
         return outputs
 
 

@@ -36,6 +36,7 @@ class SegAnyColmapDataParser(ColmapDataParser):
                                  base + ".npy")
                 masks.append(m if os.path.exists(m) else None)
                 scales.append(s if os.path.exists(s) else None)
-            image_set.extra_data = {"sam_masks": masks,
+            image_set.extra_data = {**(image_set.extra_data or {}),
+                                    "sam_masks": masks,
                                     "mask_scales": scales}
         return outputs

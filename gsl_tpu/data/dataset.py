@@ -50,9 +50,30 @@ class CachedDataset:
     def __len__(self):
         return len(self.image_set)
 
+    def _distortion(self, i: int):
+        extra = self.image_set.extra_data or {}
+        d = extra.get("distortion")
+        if d is None or d[i] is None:
+            return None
+        d = np.asarray(d[i])
+        return d if np.any(d != 0) else None
+
     def get(self, i: int) -> Tuple[Cameras, str, np.ndarray]:
         if i not in self._cache:
             img = load_image(self.image_set.image_paths[i], self.background)
+            dist = self._distortion(i)
+            if dist is not None:
+                # undistort once at load (reference dataset.py:54 get_image)
+                try:
+                    import cv2
+                    cam = self.image_set.cameras[i]
+                    K = np.asarray(cam.get_K(), np.float64)
+                    img = cv2.undistort(
+                        (img * 255).astype(np.uint8), K,
+                        np.array([dist[0], dist[1], dist[2], dist[3]])
+                    ).astype(np.float32) / 255.0
+                except ImportError:
+                    pass
             self._cache[i] = (img * 255.0 + 0.5).astype(np.uint8)
         img = self._cache[i].astype(np.float32) / 255.0
         return (self.image_set.cameras[i], self.image_set.image_names[i],
