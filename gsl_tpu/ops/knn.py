@@ -17,6 +17,9 @@ def mean_sq_dist_to_knn(points: jnp.ndarray, k: int = 3,
     """points [N, 3] -> [N] mean squared distance to the k nearest neighbors
     (excluding self)."""
     n = points.shape[0]
+    if n <= 1:
+        return jnp.full((n,), 1e-4, points.dtype)
+    k_eff = min(k + 1, n)
     pad = (-n) % chunk
     pts = jnp.pad(points, ((0, pad), (0, 0)))
     sq = jnp.sum(points * points, axis=-1)  # [N]
@@ -26,8 +29,8 @@ def mean_sq_dist_to_knn(points: jnp.ndarray, k: int = 3,
               - 2.0 * (q @ points.T))  # [chunk, N]
         d2 = jnp.maximum(d2, 0.0)
         # drop self-distance (the zero entry) by taking k+1 smallest
-        neg_top, _ = jax.lax.top_k(-d2, k + 1)
-        knn = -neg_top[:, 1:]  # [chunk, k]
+        neg_top, _ = jax.lax.top_k(-d2, k_eff)
+        knn = -neg_top[:, 1:]  # [chunk, k_eff-1]
         return None, jnp.mean(knn, axis=-1)
 
     _, out = jax.lax.scan(body, None, pts.reshape(-1, chunk, 3))
