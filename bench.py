@@ -39,11 +39,29 @@ def main():
     state = _synthetic_state(n, cap, sh_degree=sh_degree, seed=0)
     cam = make_camera(R=np.eye(3), T=np.zeros(3), fx=1600.0, fy=1600.0,
                       cx=W / 2, cy=H / 2, width=W, height=H)
-    isect_cap = int(os.environ.get("BENCH_ISECT_CAP", str(1 << 23)))
+    isect_cap = os.environ.get("BENCH_ISECT_CAP")
+    if isect_cap is None:
+        # probe the intersection count once and size capacity 1.3x over it
+        # (mirrors the adaptive-capacity policy of the training loop)
+        from gsl_tpu.ops.projection import project_gaussians, tile_rect
+
+        proj = jax.jit(lambda: project_gaussians(
+            state.params.means, jnp.exp(state.params.scales),
+            state.params.rotations, cam.world_to_camera, cam.fx, cam.fy,
+            cam.cx, cam.cy, W, H))()
+        rmin, rmax = tile_rect(proj, 16, -(-W // 16), -(-H // 16))
+        total = int(jnp.sum((rmax[:, 0] - rmin[:, 0])
+                            * (rmax[:, 1] - rmin[:, 1])))
+        cap_i = 1 << 18
+        while cap_i < int(total * 1.3):
+            cap_i <<= 1
+        print(f"# isects={total} capacity={cap_i}", file=sys.stderr)
+    else:
+        cap_i = int(isect_cap)
     renderer = TileRendererConfig(
         max_per_tile=4096, chunk=128,
         pallas_chunk=int(os.environ.get("BENCH_CHUNK", "128")),
-        min_isect_capacity=isect_cap, isect_capacity_factor=1,
+        min_isect_capacity=cap_i, isect_capacity_factor=1,
     ).instantiate()
     bg = jnp.zeros(3, jnp.float32)
     target = jnp.full((H, W, 3), 0.4, jnp.float32)
