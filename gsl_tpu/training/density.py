@@ -69,12 +69,19 @@ class VanillaDensityControllerConfig:
 
 
 def update_stats(dstate: DensityControlState, m2d_grad: jnp.ndarray,
-                 radii: jnp.ndarray, grad_scale: jnp.ndarray
-                 ) -> DensityControlState:
+                 radii: jnp.ndarray, grad_scale: jnp.ndarray,
+                 distance_factors=None) -> DensityControlState:
     """m2d_grad [CAP, 2] = dL/dmeans2d (pixel units); radii [CAP] int;
-    grad_scale [2] = 0.5*[W, H] (viewspace grad scale)."""
+    grad_scale [2] = 0.5*[W, H] (viewspace grad scale).
+
+    `distance_factors` [CAP] (optional): foreground-first damping — grads of
+    gaussians far from the owning partition are attenuated so densification
+    stays inside the cell (reference
+    foreground_first_density_controller.py + partition_store.py)."""
     visible = radii > 0
     g = jnp.linalg.norm(m2d_grad * grad_scale[None, :], axis=-1)
+    if distance_factors is not None:
+        g = g * jnp.exp(-distance_factors)
     return DensityControlState(
         grad_accum=dstate.grad_accum + jnp.where(visible, g, 0.0),
         denom=dstate.denom + visible.astype(jnp.float32),
