@@ -16,9 +16,14 @@ def test_hexplane_shapes_and_time_dependence():
     assert f0.shape == (20, 8)
     # time planes init to ones (4DGS convention): static at init...
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=1e-6)
-    # ...and time-dependent once any time plane deviates from ones
-    perturbed = jax.tree.map(
-        lambda x: x + 0.5 if x.shape[:1] == (16,) else x, params)
+    # ...and time-dependent once a time plane varies along its time axis
+    def perturb(x):
+        if x.ndim == 3 and x.shape[0] == 16:  # time-resolution axis
+            ramp = jnp.arange(x.shape[0], dtype=x.dtype) / x.shape[0]
+            return x + ramp[:, None, None]
+        return x
+
+    perturbed = jax.tree.map(perturb, params)
     g0 = field.apply(perturbed, xyz, jnp.asarray(0.0))
     g1 = field.apply(perturbed, xyz, jnp.asarray(1.0))
     assert float(jnp.abs(g1 - g0).max()) > 0
