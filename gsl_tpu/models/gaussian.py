@@ -47,9 +47,13 @@ class GaussianParams:
     opacities: jnp.ndarray   # [CAP, 1] logit-space
     shs_dc: jnp.ndarray      # [CAP, 1, 3]
     shs_rest: jnp.ndarray    # [CAP, K-1, 3]
-    # optional extra trainable per-Gaussian property (e.g. 64-d appearance
-    # features, reference appearance_feature_gaussian.py:19-85)
+    # optional extra trainable per-Gaussian properties (None when unused):
+    # 64-d appearance features (appearance_feature_gaussian.py:19-85) and
+    # PVG dynamic-scene properties (periodic_vibration_gaussian model)
     appearance_features: Any = None
+    t_centers: Any = None     # [CAP, 1] life peak tau
+    t_scales: Any = None      # [CAP, 1] log lifespan beta
+    velocities: Any = None    # [CAP, 3]
 
     @property
     def capacity(self) -> int:

@@ -68,6 +68,9 @@ class TileRenderer:
         self.config = config
 
     # ---- template-method seams (variant renderers override) ----
+    def get_means(self, gaussians: GaussianState, camera: Cameras):
+        return gaussians.get_means()
+
     def get_scales(self, gaussians: GaussianState, camera: Cameras):
         return gaussians.get_scales()
 
@@ -113,7 +116,8 @@ class TileRenderer:
         with jax.named_scope("gs_project"):
             scales = self.get_scales(gaussians, camera) * scaling_modifier
             proj = project_gaussians(
-                gaussians.get_means(), scales, gaussians.get_rotations(),
+                self.get_means(gaussians, camera), scales,
+                gaussians.get_rotations(),
                 camera.world_to_camera, camera.fx, camera.fy, camera.cx,
                 camera.cy, img_width, img_height,
                 filter_2d=cfg.filter_2d_kernel_size)

@@ -22,7 +22,9 @@ from .schedulers import exponential_decay
 def build_gaussian_optimizer(opt_cfg: OptimizationConfig,
                              spatial_lr_scale: float,
                              has_appearance_features: bool = False,
-                             appearance_feature_lr: float = 2e-3):
+                             appearance_feature_lr: float = 2e-3,
+                             has_pvg: bool = False,
+                             pvg_lr: float = 1e-3):
     """optax.multi_transform with one Adam per Gaussian property, reference
     LRs (means exp-decayed x spatial_lr_scale)."""
     scale = (opt_cfg.spatial_lr_scale
@@ -48,10 +50,15 @@ def build_gaussian_optimizer(opt_cfg: OptimizationConfig,
     if has_appearance_features:
         transforms["appearance_features"] = adam(appearance_feature_lr)
         af_label = "appearance_features"
+    pvg_label = None
+    if has_pvg:
+        transforms["pvg"] = adam(pvg_lr)
+        pvg_label = "pvg"
     labels = GaussianParams(
         means="means", scales="scales", rotations="rotations",
         opacities="opacities", shs_dc="shs_dc", shs_rest="shs_rest",
         appearance_features=af_label,
+        t_centers=pvg_label, t_scales=pvg_label, velocities=pvg_label,
     )
     return optax.multi_transform(transforms, labels)
 

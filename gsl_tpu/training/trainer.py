@@ -92,7 +92,8 @@ class Trainer:
         self.tx = build_gaussian_optimizer(
             self.model.optimization, spatial_lr_scale=self.cameras_extent,
             has_appearance_features=(
-                gaussians.params.appearance_features is not None))
+                gaussians.params.appearance_features is not None),
+            has_pvg=(gaussians.params.t_centers is not None))
         opt_state = self.tx.init(gaussians.params)
         return TrainState(
             params=gaussians.params,
