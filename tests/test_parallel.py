@@ -91,3 +91,56 @@ def test_mp_step_matches_single_device():
         np.testing.assert_allclose(
             getattr(upd_mp, name), np.asarray(getattr(upd_ref, name)),
             rtol=2e-3, atol=5e-6, err_msg=f"update mismatch: {name}")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_densify_on_sharded_state_matches():
+    """Densification on mp-sharded global arrays (XLA inserts collectives)
+    must equal the single-device result."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gsl_tpu.training.density import (VanillaDensityControllerConfig,
+                                          densify_and_prune,
+                                          init_density_state)
+    from gsl_tpu.models.gaussian import (GaussianState,
+                                         VanillaGaussianConfig)
+
+    rng = np.random.RandomState(0)
+    xyz = rng.normal(size=(100, 3)).astype(np.float32) + [0, 0, 4]
+    rgb = rng.uniform(0, 1, (100, 3)).astype(np.float32)
+    state = VanillaGaussianConfig(sh_degree=1).init_from_pcd(
+        xyz, rgb, capacity=256)
+    p = state.params.replace(
+        scales=state.params.scales.at[0].set(jnp.log(0.001))
+        .at[1].set(jnp.log(0.5)))
+    state = GaussianState(params=p, alive=state.alive)
+    tx = build_gaussian_optimizer(OptimizationConfig(), 1.0)
+    opt_state = tx.init(state.params)
+    dstate = init_density_state(256).replace(
+        grad_accum=jnp.zeros(256).at[0].set(1.0).at[1].set(1.0),
+        denom=jnp.ones(256))
+    cfg = VanillaDensityControllerConfig()
+    key = jax.random.PRNGKey(0)
+
+    fn = jax.jit(lambda k, st, o, d: densify_and_prune(
+        k, st, o, d, cfg, 1.0, 100.0, jnp.asarray(False)))
+    ref_state, _, _, _ = fn(key, state, opt_state, dstate)
+
+    mesh = make_mesh(8, dp=2, mp=4)
+    shard = NamedSharding(mesh, P("mp"))
+
+    def put(x):
+        if isinstance(x, jnp.ndarray) and x.ndim >= 1 \
+                and x.shape[0] == 256:
+            return jax.device_put(x, shard)
+        return x
+
+    state_s = jax.tree.map(put, state)
+    opt_s = jax.tree.map(put, opt_state)
+    d_s = jax.tree.map(put, dstate)
+    out_state, _, _, _ = fn(key, state_s, opt_s, d_s)
+
+    np.testing.assert_array_equal(np.asarray(out_state.alive),
+                                  np.asarray(ref_state.alive))
+    np.testing.assert_allclose(np.asarray(out_state.params.means),
+                               np.asarray(ref_state.params.means),
+                               rtol=1e-6)
