@@ -59,6 +59,9 @@ class FitConfig:
     lg_prune_percent: float = 0.6
     lg_prune_decay: float = 0.6
     lg_n_cameras: int = 8
+    size_bucket: int = 64
+    """pad images up to multiples of this so mixed-size datasets share
+    compiled train steps (masked loss over the padding)"""
 
 
 def _round_capacity(n: int) -> int:
@@ -149,12 +152,27 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
                                  mcmc_cfg.noise_lr if mcmc_cfg else 5e5)
         return state.replace(params=gstate.params)
 
+    def bucketed(img):
+        """pad HWC image to the size bucket; returns (img, mask|None)."""
+        b = max(cfg.size_bucket, 1)
+        H, W = img.shape[:2]
+        Hp, Wp = -(-H // b) * b, -(-W // b) * b
+        if Hp == H and Wp == W:
+            return img, None
+        out = np.zeros((Hp, Wp, 3), img.dtype)
+        out[:H, :W] = img
+        mask = np.zeros((Hp, Wp), np.float32)
+        mask[:H, :W] = 1.0
+        return out, mask
+
     for step in range(1, cfg.max_steps + 1):
         cam, name, img = next(loader)
+        img, mask = bucketed(img)
         H, W = img.shape[:2]
         sh_degree = trainer.sh_degree_at(step)
         state, scalars = trainer.train_step(
             state, cam, jnp.asarray(img), H, W, sh_degree, bg,
+            mask=None if mask is None else jnp.asarray(mask),
             isect_capacity=isect_capacity)
         if step % 50 == 0 and int(scalars["n_dropped_isects"]) > 0:
             isect_capacity *= 2
