@@ -70,7 +70,14 @@ def isect_encode_padded(
     tile_size: int,
     capacity: int,
     chunk: int,
+    opacities=None,
+    tile_based_culling: bool = False,
 ) -> PaddedIsects:
+    """With `tile_based_culling` (StopThePop, reference
+    gsplat_v1_renderer.py:35 `isect_tiles_tile_based_culling`), an
+    intersection is dropped when the gaussian's peak alpha inside the tile
+    (evaluated at the tile's closest point to the mean) is below 1/255 —
+    same image, fewer chunks."""
     tiles_x = -(-img_width // tile_size)
     tiles_y = -(-img_height // tile_size)
     n_tiles = tiles_x * tiles_y
@@ -100,14 +107,20 @@ def isect_encode_padded(
         & (jax.lax.cummax(start_marks) > 0)
 
     # one batched gather for all per-gaussian fields (ints bitcast to f32)
-    packed = jnp.stack([
+    rows = [
         lax.bitcast_convert_type(offsets, jnp.float32),
         lax.bitcast_convert_type(rect_min[:, 0], jnp.float32),
         lax.bitcast_convert_type(rect_min[:, 1], jnp.float32),
         lax.bitcast_convert_type(jnp.maximum(rect_w, 1), jnp.float32),
         projections.depths.astype(jnp.float32),
-    ], axis=0)                                       # [5, N]
-    got = jnp.take(packed, g_safe, axis=1)           # [5, capacity]
+    ]
+    if tile_based_culling:
+        rows += [projections.means2d[:, 0], projections.means2d[:, 1],
+                 projections.conics[:, 0], projections.conics[:, 1],
+                 projections.conics[:, 2],
+                 opacities.astype(jnp.float32)]
+    packed = jnp.stack(rows, axis=0)                 # [5(+6), N]
+    got = jnp.take(packed, g_safe, axis=1)           # [., capacity]
     off_s = lax.bitcast_convert_type(got[0], jnp.int32)
     rminx = lax.bitcast_convert_type(got[1], jnp.int32)
     rminy = lax.bitcast_convert_type(got[2], jnp.int32)
@@ -117,6 +130,38 @@ def isect_encode_padded(
     local = slots - off_s
     t_y = rminy + local // w_s
     t_x = rminx + local % w_s
+
+    if tile_based_culling:
+        # exact max alpha over the tile: min of the conic quadratic over the
+        # tile box — 0 if the mean is inside, else the min over the four
+        # edges (per-edge closed-form argmin of the 1-D quadratic)
+        mx, my = got[5], got[6]
+        ca, cb, cc, op = got[7], got[8], got[9], got[10]
+        ts_f = jnp.float32(tile_size)
+        xlo = t_x.astype(jnp.float32) * ts_f - mx
+        xhi = xlo + ts_f
+        ylo = t_y.astype(jnp.float32) * ts_f - my
+        yhi = ylo + ts_f
+
+        def sig(dx, dy):
+            return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+        def edge_x(dx):      # fixed dx, optimize dy
+            dy = jnp.clip(-cb * dx / jnp.maximum(cc, 1e-12), ylo, yhi)
+            return sig(dx, dy)
+
+        def edge_y(dy):
+            dx = jnp.clip(-cb * dy / jnp.maximum(ca, 1e-12), xlo, xhi)
+            return sig(dx, dy)
+
+        sigma_min = jnp.minimum(
+            jnp.minimum(edge_x(xlo), edge_x(xhi)),
+            jnp.minimum(edge_y(ylo), edge_y(yhi)))
+        inside = (xlo <= 0) & (xhi >= 0) & (ylo <= 0) & (yhi >= 0)
+        sigma_min = jnp.where(inside, 0.0, jnp.maximum(sigma_min, 0.0))
+        peak = op * jnp.exp(-sigma_min)
+        valid = valid & (peak >= 1.0 / 255.0)
+
     tile_ids = jnp.where(valid, t_y * tiles_x + t_x, n_tiles).astype(jnp.int32)
     depths = jnp.where(valid, depth_s, jnp.inf)
     gauss_ids = jnp.where(valid, g_safe, n_gauss).astype(jnp.int32)

@@ -58,6 +58,7 @@ class TileRendererConfig:
     max_viewspace_grad_scale: float = 65535.0
     backend: str = "auto"              # "auto" | "pallas" | "xla"
     pallas_chunk: int = 128
+    tile_based_culling: bool = False   # StopThePop peak-alpha tile culling
 
     def instantiate(self) -> "TileRenderer":
         return TileRenderer(self)
@@ -163,7 +164,9 @@ class TileRenderer:
             with jax.named_scope("gs_isect"):
                 isects_p = isect_encode_padded(
                     proj, img_height, img_width, cfg.tile_size,
-                    isect_capacity, cfg.pallas_chunk)
+                    isect_capacity, cfg.pallas_chunk,
+                    opacities=jax.lax.stop_gradient(opacities),
+                    tile_based_culling=cfg.tile_based_culling)
             with jax.named_scope("gs_rasterize"):
                 img_nobg, alpha = rasterize_pallas(
                     proj.means2d, proj.conics, opacities, ch, absgrad_tap,

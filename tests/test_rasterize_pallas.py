@@ -103,3 +103,28 @@ def test_pallas_extra_channels():
         isects, H, W, TS, CHUNK, True)
     np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_tile_based_culling_matches():
+    """Peak-alpha tile culling drops only invisible-contribution isects:
+    image unchanged, fewer intersections."""
+    n = 500
+    proj, opac, colors = _project(n, 8)
+    bg = jnp.zeros(3, jnp.float32)
+
+    isects = isect_encode_padded(proj, H, W, TS, capacity=8192, chunk=CHUNK)
+    img_a, alpha_a = rasterize_pallas(
+        proj.means2d, proj.conics, opac, colors,
+        jnp.zeros_like(proj.means2d), isects, H, W, TS, CHUNK, True)
+
+    isects_c = isect_encode_padded(proj, H, W, TS, capacity=8192,
+                                   chunk=CHUNK, opacities=opac,
+                                   tile_based_culling=True)
+    assert int(isects_c.n_isects) <= int(isects.n_isects)
+    img_b, alpha_b = rasterize_pallas(
+        proj.means2d, proj.conics, opac, colors,
+        jnp.zeros_like(proj.means2d), isects_c, H, W, TS, CHUNK, True)
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_a),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(alpha_b), np.asarray(alpha_a),
+                               rtol=1e-4, atol=1e-5)
