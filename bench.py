@@ -62,6 +62,7 @@ def main():
         max_per_tile=4096, chunk=128,
         pallas_chunk=int(os.environ.get("BENCH_CHUNK", "128")),
         min_isect_capacity=cap_i, isect_capacity_factor=1,
+        tile_based_culling=os.environ.get("BENCH_CULL", "0") == "1",
     ).instantiate()
     bg = jnp.zeros(3, jnp.float32)
     target = jnp.full((H, W, 3), 0.4, jnp.float32)
