@@ -21,7 +21,7 @@ import yaml
 
 from .data.dataparsers.blender import BlenderDataParserConfig
 from .data.dataparsers.colmap import ColmapDataParserConfig
-from .models.gaussian import VanillaGaussianConfig, OptimizationConfig
+from .models.gaussian import VanillaGaussianConfig
 from .models.mip_splatting import MipSplattingConfig
 from .renderers.mip_splatting_renderer import MipSplattingRendererConfig
 from .renderers.tile_renderer import TileRendererConfig

@@ -22,7 +22,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .transforms import quat_to_rotmat, normalize_quat
+from .transforms import normalize_quat
 
 
 class Projections(NamedTuple):

@@ -18,8 +18,6 @@ production kernel with identical semantics.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

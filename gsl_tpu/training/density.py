@@ -31,7 +31,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from ..models.gaussian import GaussianParams, GaussianState, inverse_sigmoid
+from ..models.gaussian import GaussianState, inverse_sigmoid
 from ..ops.transforms import quat_to_rotmat, normalize_quat
 from .optimizers import zero_opt_state_rows
 
