@@ -162,12 +162,20 @@ def build_components(cfg: Dict):
     from .training.depth_trainer import DepthMetricsConfig, DepthTrainer
     from .training.gs2d import GS2DMetricsConfig, GS2DTrainer
     trainer_cls = Trainer
+    extra_kwargs = {}
     if isinstance(metrics, GS2DMetricsConfig):
         trainer_cls = GS2DTrainer
     elif isinstance(metrics, DepthMetricsConfig):
         trainer_cls = DepthTrainer
+    strat = (model_spec.get("opt_strategy")
+             or cfg.get("opt_strategy"))
+    if strat == "grad_acc":
+        from .training.opt_strategies import GradAccConfig, GradAccTrainer
+        trainer_cls = GradAccTrainer
+        extra_kwargs["grad_acc"] = GradAccConfig()
     trainer = trainer_cls(model=model, renderer=renderer, density=density,
-                          metrics=metrics, config=trainer_cfg)
+                          metrics=metrics, config=trainer_cfg,
+                          **extra_kwargs)
     return trainer, dataparser_cfg, fit_cfg
 
 

@@ -152,6 +152,10 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
                                  mcmc_cfg.noise_lr if mcmc_cfg else 5e5)
         return state.replace(params=gstate.params)
 
+    from .opt_strategies import GradAccTrainer
+    is_grad_acc = isinstance(trainer, GradAccTrainer)
+    grad_buffer = trainer.init_grad_buffer(state) if is_grad_acc else None
+
     def bucketed(img):
         """pad HWC image to the size bucket; returns (img, mask|None)."""
         b = max(cfg.size_bucket, 1)
@@ -170,10 +174,16 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
         img, mask = bucketed(img)
         H, W = img.shape[:2]
         sh_degree = trainer.sh_degree_at(step)
-        state, scalars = trainer.train_step(
-            state, cam, jnp.asarray(img), H, W, sh_degree, bg,
-            mask=None if mask is None else jnp.asarray(mask),
-            isect_capacity=isect_capacity)
+        if is_grad_acc:
+            k = trainer.grad_acc.accumulation_at(step)
+            state, grad_buffer, scalars = trainer.train_step_accumulate(
+                state, grad_buffer, cam, jnp.asarray(img), H, W, sh_degree,
+                bg, apply=(step % k == 0), inv_k=1.0 / k)
+        else:
+            state, scalars = trainer.train_step(
+                state, cam, jnp.asarray(img), H, W, sh_degree, bg,
+                mask=None if mask is None else jnp.asarray(mask),
+                isect_capacity=isect_capacity)
         if step % 50 == 0 and int(scalars["n_dropped_isects"]) > 0:
             isect_capacity *= 2
             print(f"[fit] isect capacity -> {isect_capacity}")
