@@ -173,6 +173,13 @@ def build_components(cfg: Dict):
         from .training.opt_strategies import GradAccConfig, GradAccTrainer
         trainer_cls = GradAccTrainer
         extra_kwargs["grad_acc"] = GradAccConfig()
+    from .models.appearance import AppearanceFeatureGaussianConfig
+    if isinstance(model, AppearanceFeatureGaussianConfig):
+        from .training.appearance_trainer import AppearanceTrainer
+        trainer_cls = AppearanceTrainer
+        extra_kwargs["n_appearances"] = int(
+            model_spec.get("n_appearances", 0)) or None
+    extra_kwargs = {k: v for k, v in extra_kwargs.items() if v is not None}
     trainer = trainer_cls(model=model, renderer=renderer, density=density,
                           metrics=metrics, config=trainer_cfg,
                           **extra_kwargs)

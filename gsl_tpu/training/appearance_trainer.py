@@ -46,7 +46,7 @@ class AppearanceTrainer(Trainer):
     """Trainer with a per-image appearance network. The network state rides
     in TrainState.extra["__net__"]."""
 
-    def __init__(self, *args, n_appearances: int = 1,
+    def __init__(self, *args, n_appearances: int = 1024,
                  with_opacity: bool = False, is_view_dependent: bool = False,
                  appearance_opt: AppearanceOptimizationConfig = None,
                  **kwargs):

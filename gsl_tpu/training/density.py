@@ -164,10 +164,14 @@ def densify_and_prune(
     alive = alive.at[dest].set(True, mode="drop")
 
     # non-trainable extra properties: copy source rows into new slots
+    # (only per-gaussian arrays; auxiliary state like the appearance network
+    # rides in `extra` too and must pass through untouched)
     extra = gstate.extra
     if extra is not None:
         extra = jax.tree.map(
-            lambda arr: arr.at[dest].set(arr[src], mode="drop"), extra)
+            lambda arr: (arr.at[dest].set(arr[src], mode="drop")
+                         if getattr(arr, "ndim", 0) >= 1
+                         and arr.shape[0] == cap else arr), extra)
 
     # --- prune (on post-densify values) ---
     opacities_act = jax.nn.sigmoid(params.opacities[:, 0])

@@ -153,7 +153,9 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
         return state.replace(params=gstate.params)
 
     from .opt_strategies import GradAccTrainer
+    from .appearance_trainer import AppearanceTrainer
     is_grad_acc = isinstance(trainer, GradAccTrainer)
+    is_appearance = isinstance(trainer, AppearanceTrainer)
     grad_buffer = trainer.init_grad_buffer(state) if is_grad_acc else None
 
     def bucketed(img):
@@ -174,7 +176,11 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
         img, mask = bucketed(img)
         H, W = img.shape[:2]
         sh_degree = trainer.sh_degree_at(step)
-        if is_grad_acc:
+        if is_appearance:
+            state, scalars = trainer.train_step_appearance(
+                state, cam, jnp.asarray(img), H, W, sh_degree, bg,
+                warm_up=step < trainer.appearance_opt.warm_up)
+        elif is_grad_acc:
             k = trainer.grad_acc.accumulation_at(step)
             state, grad_buffer, scalars = trainer.train_step_accumulate(
                 state, grad_buffer, cam, jnp.asarray(img), H, W, sh_degree,
