@@ -95,6 +95,11 @@ class GaussianModelLoader:
             arrays = {k: np.asarray(v) for k, v in params.items()
                       if v is not None and not isinstance(v, dict)}
             alive = np.asarray(raw["alive"])
+            cap = alive.shape[0]
+            # zero-size arrays (sh_degree 0 shs_rest) are checkpointed as
+            # 1-element placeholders (utils/checkpoint.py _pack_zero_size)
+            if arrays["shs_rest"].ndim != 3:
+                arrays["shs_rest"] = np.zeros((cap, 0, 3), np.float32)
             state = GaussianState(
                 params=GaussianParams(**{
                     k: jnp.asarray(v) for k, v in arrays.items()}),
