@@ -92,9 +92,10 @@ def build_partitions(
 
     lo, hi = xy.min(0), xy.max(0)
     if config.partition_size <= 0:
-        area = np.prod(hi - lo)
-        config.partition_size = float(
-            np.sqrt(area / max(n_partitions_hint, 1)) + 1e-6)
+        # span-based sizing (area-based collapses for flat/linear layouts)
+        span = float(np.max(hi - lo))
+        per_axis = int(np.ceil(np.sqrt(max(n_partitions_hint, 1))))
+        config.partition_size = max(span / max(per_axis, 1), 1e-6) + 1e-6
     size = config.partition_size
     if config.origin is None:
         config.origin = (lo + hi) / 2.0
