@@ -95,6 +95,7 @@ def make_mp_train_step(
     anti_aliased: bool = True,
     filter_2d: float = 0.3,
     lambda_dssim: float = 0.2,
+    compact_k: int = None,
 ):
     """Build a jitted sharded full training step.
 
@@ -131,13 +132,27 @@ def make_mp_train_step(
                 return payload, radii
 
             payload, radii = jax.vmap(proj_one)(cams_mp, tap)
-            # [n_mp(cameras), N_local, D] -> exchange so each device gets all
-            # shards' splats for ITS camera: [n_mp(shards), N_local, D]
+            # visible-splat compaction before the exchange: ship only the
+            # top-K slots per (camera, shard), visible-first (the reference
+            # exchanges exact visible counts via ragged NCCL all_to_all,
+            # gsplat_distributed_renderer.py:127-217; fixed K is the
+            # TPU-static equivalent — monitor overflow and raise K)
+            k_eff = cap_local if compact_k is None else min(compact_k,
+                                                            cap_local)
+            radii_for_x = radii
+            if k_eff < cap_local:
+                order = jax.lax.stop_gradient(
+                    jnp.argsort(radii <= 0, axis=1, stable=True))[:, :k_eff]
+                payload = jnp.take_along_axis(payload, order[..., None],
+                                              axis=1)
+                radii_for_x = jnp.take_along_axis(radii, order, axis=1)
+            # [n_mp(cameras), K, D] -> exchange so each device gets all
+            # shards' splats for ITS camera: [n_mp(shards), K, D]
             payload = lax.all_to_all(payload, "mp", split_axis=0,
                                      concat_axis=0, tiled=False)
-            radii_x = lax.all_to_all(radii, "mp", split_axis=0,
+            radii_x = lax.all_to_all(radii_for_x, "mp", split_axis=0,
                                      concat_axis=0, tiled=False)
-            n_total = n_mp * cap_local
+            n_total = n_mp * k_eff
             payload = payload.reshape(n_total, payload.shape[-1])
             radii_full = radii_x.reshape(n_total)
 

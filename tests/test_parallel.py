@@ -144,3 +144,42 @@ def test_densify_on_sharded_state_matches():
     np.testing.assert_allclose(np.asarray(out_state.params.means),
                                np.asarray(ref_state.params.means),
                                rtol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mp_step_with_compaction_matches():
+    """Visible-splat compaction (K >= max visible) leaves the step exact."""
+    state, cam_batch, cams, gts, bg = _setup()
+    mesh = make_mesh(8, dp=2, mp=4)
+    tx = build_gaussian_optimizer(OptimizationConfig(), 1.0)
+    opt_state = tx.init(state.params)
+    gts_noisy = jnp.clip(gts + 0.05, 0.0, 1.0)
+
+    step_full = make_mp_train_step(mesh, tx, H, W, sh_degree=0,
+                                   isect_capacity=4096, max_per_tile=256,
+                                   chunk=32)
+    # alive slots are CONSECUTIVE (0..149), so shard 0 holds up to 128
+    # visible: K must cover the worst shard. cap_local=128 -> K=96 engages
+    # compaction on shards 1-3 losslessly but would clip shard 0; use the
+    # padded tail so every shard's visible count fits under K.
+    step_cmp = make_mp_train_step(mesh, tx, H, W, sh_degree=0,
+                                  isect_capacity=4096, max_per_tile=256,
+                                  chunk=32, compact_k=100)
+    # move 50 gaussians into shard 1's slot range so no shard exceeds 100
+    perm_params = jax.tree.map(
+        lambda a: (jnp.concatenate([a[:100], a[256:306], a[100:256],
+                                    a[306:]], axis=0)
+                   if a.ndim >= 1 and a.shape[0] == CAP else a),
+        state.params)
+    alive2 = jnp.concatenate([state.alive[:100], state.alive[256:306],
+                              state.alive[100:256], state.alive[306:]])
+    args = shard_params(mesh, perm_params, alive2, tx.init(perm_params))
+    step_full2 = make_mp_train_step(mesh, tx, H, W, sh_degree=0,
+                                    isect_capacity=4096, max_per_tile=256,
+                                    chunk=32)
+    p1, _, l1, _, _ = step_full2(*args, cam_batch, gts_noisy, bg)
+    p2, _, l2, _, _ = step_cmp(*args, cam_batch, gts_noisy, bg)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(jax.device_get(p2.means)),
+                               np.asarray(jax.device_get(p1.means)),
+                               rtol=1e-5, atol=1e-8)
