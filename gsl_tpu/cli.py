@@ -179,6 +179,9 @@ def build_components(cfg: Dict):
         trainer_cls = AppearanceTrainer
         extra_kwargs["n_appearances"] = int(
             model_spec.get("n_appearances", 0)) or None
+        # SWAG (swag_model.py): appearance + per-image transient opacity
+        if model_spec.get("swag") or cfg.get("swag"):
+            extra_kwargs["with_opacity"] = True
     extra_kwargs = {k: v for k, v in extra_kwargs.items() if v is not None}
     trainer = trainer_cls(model=model, renderer=renderer, density=density,
                           metrics=metrics, config=trainer_cfg,
