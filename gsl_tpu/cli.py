@@ -202,7 +202,15 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     overrides = parse_overrides(args.set)
-    cfg = load_config(args.config, overrides)
+    config_paths = list(args.config)
+    if args.subcommand in ("validate", "test"):
+        # resume from the run's own config snapshot so model/capacity
+        # templates match the checkpoint (reference auto ckpt search +
+        # hparams-from-ckpt, internal/cli.py:92-110)
+        snap = os.path.join(args.output, args.name, "config.yaml")
+        if os.path.exists(snap):
+            config_paths = [snap] + config_paths
+    cfg = load_config(config_paths, overrides)
     if args.data_path:
         cfg.setdefault("data", {})["path"] = args.data_path
     if args.max_steps:
