@@ -53,6 +53,7 @@ def _register_extra():
     from .data.dataparsers.matrix_city import MatrixCityDataParserConfig
     from .data.dataparsers.nerfies import NerfiesDataParserConfig
     from .data.dataparsers.segany_colmap import SegAnyColmapDataParserConfig
+    from .data.dataparsers.ngp import NGPDataParserConfig
     from .models.gaussian_2d import Gaussian2DConfig
     from .models.appearance import AppearanceFeatureGaussianConfig
     from .renderers.surfel_renderer import SurfelRendererConfig
@@ -65,6 +66,7 @@ def _register_extra():
         "MatrixCity": MatrixCityDataParserConfig,
         "Nerfies": NerfiesDataParserConfig,
         "SegAnyColmap": SegAnyColmapDataParserConfig,
+        "NGP": NGPDataParserConfig,
         "Gaussian2D": Gaussian2DConfig,
         "AppearanceFeatureGaussian": AppearanceFeatureGaussianConfig,
         "SurfelRenderer": SurfelRendererConfig,

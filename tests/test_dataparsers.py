@@ -134,3 +134,29 @@ def test_dataloader(tmp_path):
         assert img.dtype == np.float32
         seen.add(name)
     assert len(seen) == 4
+
+
+def test_ngp_parser(tmp_path):
+    from gsl_tpu.data.dataparsers.ngp import NGPDataParserConfig
+    from PIL import Image
+    rng = np.random.RandomState(4)
+    os.makedirs(tmp_path / "images", exist_ok=True)
+    frames = []
+    for i in range(6):
+        name = f"images/{i:04d}.png"
+        Image.fromarray(rng.randint(0, 255, (32, 40, 3)).astype(
+            np.uint8)).save(tmp_path / name)
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.1 * i, 0, 3]
+        frames.append({"file_path": name,
+                       "transform_matrix": c2w.tolist()})
+    meta = {"fl_x": 35.0, "fl_y": 36.0, "cx": 20.0, "cy": 16.0,
+            "w": 40, "h": 32, "frames": frames}
+    with open(tmp_path / "transforms.json", "w") as f:
+        json.dump(meta, f)
+    out = NGPDataParserConfig(path=str(tmp_path),
+                              random_point_count=500).instantiate(
+                              ).get_outputs()
+    assert len(out.train_set) == 6
+    assert float(out.train_set.cameras.fx[0]) == 35.0
+    assert out.point_cloud.xyz.shape == (500, 3)
