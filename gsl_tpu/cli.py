@@ -184,6 +184,25 @@ def build_components(cfg: Dict):
         # SWAG (swag_model.py): appearance + per-image transient opacity
         if model_spec.get("swag") or cfg.get("swag"):
             extra_kwargs["with_opacity"] = True
+    # output processors: shorthand names or class_path
+    # (reference configs/bilagrid*.yaml -> internal/output_processors/)
+    op_spec = model_spec.get("output_processor") or cfg.get(
+        "output_processor")
+    if op_spec:
+        from .training.output_processors import (BilateralGridConfig,
+                                                 ExposureConfig)
+        if isinstance(op_spec, str):
+            op_spec = {"class_path": op_spec}
+        shorthand = {"bilagrid": BilateralGridConfig,
+                     "exposure": ExposureConfig}
+        cls_name = op_spec.get("class_path", "bilagrid")
+        if cls_name in shorthand:
+            extra_kwargs["output_processor"] = _build(
+                shorthand[cls_name], op_spec.get("init_args", {}))
+        else:
+            extra_kwargs["output_processor"] = _build(
+                BilateralGridConfig, op_spec)  # class_path resolved inside
+
     extra_kwargs = {k: v for k, v in extra_kwargs.items() if v is not None}
     trainer = trainer_cls(model=model, renderer=renderer, density=density,
                           metrics=metrics, config=trainer_cfg,
@@ -237,7 +256,8 @@ def main(argv=None):
             print(f"val: psnr={results['psnr']:.3f} "
                   f"ssim={results['ssim']:.4f}")
     else:
-        from .utils.checkpoint import find_latest_checkpoint, load_checkpoint
+        from .utils.checkpoint import (find_latest_checkpoint,
+                                       load_checkpoint, load_checkpoint_meta)
         pc = outputs.point_cloud
         capacity = max(int(pc.xyz.shape[0] * fit_cfg.capacity_multiplier),
                        fit_cfg.min_capacity)
@@ -248,6 +268,12 @@ def main(argv=None):
             os.path.join(fit_cfg.output_dir, "checkpoints"))
         if ckpt is None:
             raise FileNotFoundError("no checkpoint found")
+        # grown runs store their final capacity in fit_meta.json; the
+        # restore target must match those shapes
+        meta = load_checkpoint_meta(ckpt)
+        stored_cap = (meta or {}).get("capacity", state.params.capacity)
+        if stored_cap != state.params.capacity:
+            state = trainer.grow_state(state, stored_cap)
         state = load_checkpoint(ckpt, state)
         split = "val" if args.subcommand == "validate" else "test"
         results = validate(trainer, state, outputs, fit_cfg, split=split,

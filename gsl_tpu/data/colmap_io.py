@@ -65,8 +65,21 @@ class ColmapCamera:
 
     @property
     def distortion(self) -> np.ndarray:
-        """[k1, k2, p1, p2] (zeros if pinhole)."""
-        d = np.zeros(4)
+        """[k1, k2, p1, p2, fisheye_flag] (zeros if pinhole).
+
+        OPENCV_FISHEYE's params are the equidistant coefficients
+        [k1, k2, k3, k4] — NOT radial-tangential — so they are tagged with
+        fisheye_flag=1 and undistorted downstream with
+        cv2.fisheye.undistortImage. The remaining fisheye models have no
+        OpenCV undistortion path (the reference rejects all fisheye,
+        /root/reference/internal/dataset.py:70 asserts PERSPECTIVE)."""
+        if self.model in ("SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE",
+                          "THIN_PRISM_FISHEYE", "FOV"):
+            raise NotImplementedError(
+                f"camera model {self.model} is not supported (no "
+                "undistortion path); re-run COLMAP with a perspective or "
+                "OPENCV_FISHEYE model")
+        d = np.zeros(5)
         if self.model == "SIMPLE_RADIAL":
             d[0] = self.params[3]
         elif self.model == "RADIAL":
@@ -74,7 +87,8 @@ class ColmapCamera:
         elif self.model == "OPENCV":
             d[0:4] = self.params[4:8]
         elif self.model == "OPENCV_FISHEYE":
-            d[0:4] = self.params[4:8]
+            d[0:4] = self.params[4:8]   # equidistant k1..k4
+            d[4] = 1.0
         return d
 
 

@@ -68,10 +68,18 @@ class CachedDataset:
                     import cv2
                     cam = self.image_set.cameras[i]
                     K = np.asarray(cam.get_K(), np.float64)
-                    img = cv2.undistort(
-                        (img * 255).astype(np.uint8), K,
-                        np.array([dist[0], dist[1], dist[2], dist[3]])
-                    ).astype(np.float32) / 255.0
+                    u8 = (img * 255).astype(np.uint8)
+                    if dist.shape[0] >= 5 and dist[4] != 0:
+                        # OPENCV_FISHEYE: equidistant model, NOT the
+                        # radial-tangential one cv2.undistort assumes
+                        img = cv2.fisheye.undistortImage(
+                            u8, K, np.array(dist[0:4], np.float64),
+                            Knew=K).astype(np.float32) / 255.0
+                    else:
+                        img = cv2.undistort(
+                            u8, K,
+                            np.array([dist[0], dist[1], dist[2], dist[3]])
+                        ).astype(np.float32) / 255.0
                 except ImportError:
                     pass
             self._cache[i] = (img * 255.0 + 0.5).astype(np.uint8)
@@ -85,13 +93,14 @@ class DataLoader:
 
     def __init__(self, dataset: CachedDataset, shuffle: bool = True,
                  seed: int = 0, async_prefetch: bool = True,
-                 rank: int = 0, world_size: int = 1):
+                 rank: int = 0, world_size: int = 1, skip: int = 0):
         self.dataset = dataset
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed + rank)
         self.rank = rank
         self.world_size = world_size
         self.async_prefetch = async_prefetch
+        self.skip = skip  # fast-forward (training resume): index-only
 
     def _indices(self):
         idx = np.arange(len(self.dataset))
@@ -105,6 +114,8 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Tuple[Cameras, str, np.ndarray]]:
         gen = self._indices()
+        for _ in range(self.skip):
+            next(gen)
         if not self.async_prefetch:
             for i in gen:
                 yield self.dataset.get(int(i))

@@ -198,4 +198,11 @@ def grow_capacity(state: GaussianState, new_capacity: int) -> GaussianState:
     )
     alive = jnp.concatenate(
         [state.alive, jnp.zeros((extra,), bool)], axis=0)
-    return GaussianState(params=params, alive=alive)
+    # non-trainable per-gaussian extras (e.g. mip filter_3d) pad along rows;
+    # non-per-gaussian auxiliaries pass through untouched
+    extras = state.extra
+    if extras is not None:
+        extras = jax.tree.map(
+            lambda a: (pad(a) if getattr(a, "ndim", 0) >= 1
+                       and a.shape[0] == cap else a), extras)
+    return GaussianState(params=params, alive=alive, extra=extras)

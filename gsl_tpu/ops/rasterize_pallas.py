@@ -61,6 +61,13 @@ class PaddedIsects(NamedTuple):
     tile_counts: jnp.ndarray     # [n_tiles] int32 (unpadded)
     n_isects: jnp.ndarray        # scalar
     n_dropped: jnp.ndarray       # scalar
+    # backward-reduction precompute: the per-gaussian gradient reduction
+    # gathers slot grads back into expansion order (contiguous per gaussian)
+    # and closes segments with one cumsum — no sort/scatter in the backward
+    q_of_s: jnp.ndarray          # [capacity] expansion slot -> padded slot
+    #                              (== capacity_padded for truncated slots)
+    seg_starts: jnp.ndarray      # [N] first expansion slot of gaussian
+    seg_ends: jnp.ndarray        # [N] one-past-last (clipped to capacity)
 
 
 def isect_encode_padded(
@@ -96,15 +103,19 @@ def isect_encode_padded(
 
     # slot -> gaussian assignment. A searchsorted with `capacity` queries is
     # a 20-round binary-search gather (~100x slower than everything else);
-    # instead scatter each gaussian's id at its start offset and cummax:
+    # instead scatter each gaussian's id at its start offset and cummax.
+    # Empty gaussians scatter value 0 (a no-op for the max against the
+    # zero-filled buffer) so the scatter indices stay SORTED — a sorted
+    # scatter avoids XLA's serializing scatter path on TPU (~10x).
     slots = jnp.arange(capacity, dtype=jnp.int32)
     gidx = jnp.arange(n_gauss, dtype=jnp.int32)
     start_marks = jnp.zeros((capacity,), jnp.int32).at[
-        jnp.where(num_hit > 0, offsets, capacity)].max(
-        gidx + 1, mode="drop")
-    g_safe = jnp.maximum(jax.lax.cummax(start_marks) - 1, 0)
-    valid = (slots < jnp.minimum(total, capacity)) \
-        & (jax.lax.cummax(start_marks) > 0)
+        jnp.minimum(offsets, capacity)].max(
+        jnp.where(num_hit > 0, gidx + 1, 0), mode="drop",
+        indices_are_sorted=True)
+    cm_marks = jax.lax.cummax(start_marks)
+    g_safe = jnp.maximum(cm_marks - 1, 0)
+    valid = (slots < jnp.minimum(total, capacity)) & (cm_marks > 0)
 
     # one batched gather for all per-gaussian fields (ints bitcast to f32)
     rows = [
@@ -178,7 +189,11 @@ def isect_encode_padded(
         jnp.maximum(depths.astype(jnp.float32), 0.0), jnp.uint32)
     key = ((tile_ids.astype(jnp.uint32) << depth_bits)
            | (dbits >> tile_bits))
-    sorted_keys, sorted_gauss = lax.sort((key, gauss_ids), num_keys=1)
+    # `order` (expansion slot per sorted position) feeds the backward's
+    # gradient reduction: it lets the bwd map slot grads back to the
+    # contiguous per-gaussian expansion layout with plain gathers
+    sorted_keys, sorted_gauss, order = lax.sort(
+        (key, gauss_ids, slots), num_keys=1)
     sorted_tiles = (sorted_keys >> depth_bits).astype(jnp.int32)
 
     tile_range = jnp.arange(n_tiles, dtype=jnp.uint32) << depth_bits
@@ -202,8 +217,10 @@ def isect_encode_padded(
     # tile_starts[tile] + (q - padded_starts[tile]).
     q = jnp.arange(capacity_padded, dtype=jnp.int32)
     tmark = jnp.zeros((capacity_padded,), jnp.int32).at[
-        jnp.where(padded_counts > 0, padded_starts, capacity_padded)].max(
-        jnp.arange(n_tiles, dtype=jnp.int32) + 1, mode="drop")
+        jnp.minimum(padded_starts, capacity_padded)].max(
+        jnp.where(padded_counts > 0,
+                  jnp.arange(n_tiles, dtype=jnp.int32) + 1, 0),
+        mode="drop", indices_are_sorted=True)
     tile_of_q = jax.lax.cummax(tmark) - 1           # -1 before first tile
     t_safe = jnp.maximum(tile_of_q, 0)
     packed_ts = jnp.stack([tile_starts, padded_starts, counts], axis=0)
@@ -213,6 +230,23 @@ def isect_encode_padded(
     valid_q = (tile_of_q >= 0) & (local_q < got_ts[2])
     padded_ids = jnp.where(valid_q, jnp.take(sorted_gauss, src, axis=0),
                            n_gauss)
+
+    # --- backward-reduction maps (expansion slot -> padded slot) ---
+    # padded position of each SORTED position p (real entries only):
+    #   q_of_p = padded_starts[tile(p)] + (p - tile_starts[tile(p)])
+    p_iota = slots
+    t_of_p = jnp.minimum(sorted_tiles, n_tiles - 1)
+    packed_pt = jnp.stack([padded_starts, tile_starts], axis=0)
+    got_pt = jnp.take(packed_pt, t_of_p, axis=1)            # [2, capacity]
+    q_of_p = jnp.where(sorted_tiles < n_tiles,
+                       got_pt[0] + (p_iota - got_pt[1]), capacity_padded)
+    # sorted position of each EXPANSION slot: invert the sort permutation
+    # (a second sort is ~2x faster than an unsorted 4M scatter on TPU)
+    _, p_of_s = lax.sort((order, slots), num_keys=1)
+    q_of_s = jnp.take(q_of_p, p_of_s)
+    # per-gaussian expansion segments, clipped to the slot capacity
+    seg_starts = jnp.minimum(offsets, capacity)
+    seg_ends = jnp.minimum(cum, capacity)
 
     # --- chunk schedule ---
     cum_chunks = jnp.cumsum(chunks_per_tile)
@@ -244,6 +278,9 @@ def isect_encode_padded(
         tile_counts=counts,
         n_isects=jnp.minimum(total, capacity),
         n_dropped=jnp.maximum(total - capacity, 0),
+        q_of_s=q_of_s,
+        seg_starts=seg_starts,
+        seg_ends=seg_ends,
     )
 
 
@@ -674,10 +711,9 @@ def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
         geom_s, color_s, gout_t, galpha_t, tfin_t, istop_t, isects,
         n_tiles, tiles_x, ts, chunk, interpret)
 
-    ids = isects.padded_ids
     all_rows = jnp.concatenate(
         [dgeom_s[:6], jnp.abs(dgeom_s[0:2]), dcolor_s], axis=0)  # [8+C, m]
-    summed = _segment_sum_by_sort(all_rows, ids, n + 1)[:n]      # [n, 8+C]
+    summed = _segment_sum_by_inverse(all_rows, isects)[:n]       # [n, 8+C]
     d_means2d = summed[:, 0:2]
     d_conics = summed[:, 2:5]
     d_opac = summed[:, 5]
@@ -691,34 +727,26 @@ def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
 rasterize_pallas.defvjp(_rasterize_fwd, _rasterize_bwd)
 
 
-def _segment_sum_by_sort(rows: jnp.ndarray, ids: jnp.ndarray,
-                         num_segments: int) -> jnp.ndarray:
-    """Per-gaussian reduction of [R, m] slot rows: sort by id, prefix-sum,
-    difference at segment boundaries. An order of magnitude faster than
-    XLA's scatter-add segment_sum for multi-row data at 8M slots."""
-    m = ids.shape[0]
-    slot = jnp.arange(m, dtype=jnp.int32)
-    sorted_ids, order = jax.lax.sort((ids, slot), num_keys=1)
-    rows_sorted = jnp.take(rows, order, axis=1)        # [R, m]
-    prefix = jnp.cumsum(rows_sorted.astype(jnp.float32), axis=1)
-    # first/last sorted position of each id
-    first = jnp.full((num_segments,), m, jnp.int32).at[sorted_ids].min(
-        slot, mode="drop")
-    last = jnp.full((num_segments,), -1, jnp.int32).at[sorted_ids].max(
-        slot, mode="drop")
-    has = last >= 0
-    last_s = jnp.clip(last, 0, m - 1)
-    first_s = jnp.clip(first, 0, m - 1)
-    hi = jnp.take(prefix, last_s, axis=1)              # [R, num_segments]
-    lo_idx = first_s - 1
-    lo = jnp.where(lo_idx[None, :] >= 0,
-                   jnp.take(prefix, jnp.maximum(lo_idx, 0), axis=1), 0.0)
-    out = jnp.where(has[None, :], hi - lo, 0.0)
-    return out.T                                       # [num_segments, R]
+def _segment_sum_by_inverse(rows: jnp.ndarray,
+                            isects: PaddedIsects) -> jnp.ndarray:
+    """Per-gaussian reduction of [R, capacity_padded] slot rows.
 
-
-def absgrad_from_slots(dgeom_s, padded_ids, n):
-    """AbsGS statistic: segment-sum of |per-(tile,gaussian) slot grads|."""
-    seg = functools.partial(jax.ops.segment_sum, num_segments=n + 1)
-    return jnp.stack([seg(jnp.abs(dgeom_s[0]), padded_ids),
-                      seg(jnp.abs(dgeom_s[1]), padded_ids)], axis=-1)[:n]
+    Slot grads are gathered back into EXPANSION order (contiguous per
+    gaussian) through the `q_of_s` map precomputed by the encode, then every
+    gaussian's segment closes with one cumsum + two boundary gathers. This
+    replaces the round-1 sort-based reduction (5.2M sort + scatter-min/max
+    per backward, ~290 ms/frame at bench scale) with gather+cumsum only
+    (~25 ms) — the sort-order bookkeeping was already paid once in the
+    forward encode."""
+    capp = rows.shape[1]
+    qs = isects.q_of_s                                  # [capacity]
+    valid = qs < capp
+    g = jnp.take(rows, jnp.minimum(qs, capp - 1), axis=1)
+    g = jnp.where(valid[None, :], g, 0.0)               # [R, capacity]
+    prefix = jnp.cumsum(g, axis=1)
+    s0, s1 = isects.seg_starts, isects.seg_ends         # [N]
+    hi = jnp.take(prefix, jnp.maximum(s1 - 1, 0), axis=1)
+    lo = jnp.where((s0 > 0)[None, :],
+                   jnp.take(prefix, jnp.maximum(s0 - 1, 0), axis=1), 0.0)
+    out = jnp.where((s1 > s0)[None, :], hi - lo, 0.0)
+    return out.T                                        # [N, R]

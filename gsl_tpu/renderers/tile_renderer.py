@@ -68,6 +68,13 @@ class TileRenderer:
     def __init__(self, config: TileRendererConfig):
         self.config = config
 
+    def uses_pallas(self) -> bool:
+        """True when forward() will take the Pallas path (which is the only
+        backend producing the absgrad tap gradient)."""
+        return self.config.backend == "pallas" or (
+            self.config.backend == "auto"
+            and jax.default_backend() == "tpu")
+
     # ---- template-method seams (variant renderers override) ----
     def get_means(self, gaussians: GaussianState, camera: Cameras):
         return gaussians.get_means()

@@ -106,11 +106,14 @@ class AppearanceTrainer(Trainer):
         return rgbs, op_offset
 
     @functools.partial(jax.jit, static_argnames=(
-        "self", "img_height", "img_width", "sh_degree", "warm_up"))
+        "self", "img_height", "img_width", "sh_degree", "warm_up",
+        "isect_capacity"))
     def train_step_appearance(self, state: TrainState, camera: Cameras,
                               gt_image: jnp.ndarray, img_height: int,
                               img_width: int, sh_degree: int,
-                              bg_color: jnp.ndarray, warm_up: bool):
+                              bg_color: jnp.ndarray, warm_up: bool,
+                              mask: Optional[jnp.ndarray] = None,
+                              isect_capacity: Optional[int] = None):
         tap0 = jnp.zeros((state.params.capacity, 2), jnp.float32)
         net_state: AppearanceNetState = state.extra["__net__"]
         gauss_extra = {k: v for k, v in state.extra.items()
@@ -124,9 +127,9 @@ class AppearanceTrainer(Trainer):
             out = self.renderer.forward(
                 gstate, camera, img_height, img_width, bg_color, sh_degree,
                 means2d_tap=tap, rgbs_override=rgbs,
-                opacity_offset=op_offset)
+                opacity_offset=op_offset, isect_capacity=isect_capacity)
             loss, scalars = train_loss(
-                out.render, gt_image, None,
+                out.render, gt_image, mask,
                 lambda_dssim=self.metrics_cfg.lambda_dssim,
                 rgb_diff_loss=self.metrics_cfg.rgb_diff_loss)
             if op_offset is not None:

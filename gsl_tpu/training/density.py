@@ -204,13 +204,9 @@ def reset_opacities(gstate: GaussianState, opt_state: Any,
     new_raw = inverse_sigmoid(jnp.minimum(op, reset_value))
     params = p.replace(opacities=new_raw)
 
-    # zero moments of the opacities leaf only: replicate by zeroing rows of
-    # every leaf that matches the opacities shape
-    def fix(leaf):
-        if isinstance(leaf, jnp.ndarray) and leaf.shape == p.opacities.shape:
-            return jnp.zeros_like(leaf)
-        return leaf
-
-    opt_state = jax.tree.map(fix, opt_state)
+    # zero moments of the opacities leaf only, targeted by pytree path —
+    # shape matching would clobber PVG's same-shaped t_centers/t_scales
+    from .optimizers import zero_opacity_opt_state
+    opt_state = zero_opacity_opt_state(opt_state, p.opacities.shape)
     return (GaussianState(params=params, alive=gstate.alive,
                           extra=gstate.extra), opt_state)

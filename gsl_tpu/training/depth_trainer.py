@@ -33,7 +33,8 @@ class DepthTrainer(Trainer):
 
     def render_losses(self, gstate, camera, img_height, img_width, bg_color,
                       sh_degree, gt_image, mask, tap, abstap, step,
-                      aux_inputs=None, isect_capacity=None):
+                      aux_inputs=None, isect_capacity=None,
+                      op_params=None, image_idx=None):
         m: DepthMetricsConfig = self.metrics_cfg
         out = self.renderer.forward(
             gstate, camera, img_height, img_width, bg_color, sh_degree,

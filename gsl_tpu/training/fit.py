@@ -29,7 +29,8 @@ from ..ops.ssim import ssim as ssim_fn
 from ..training.mcmc import (MCMCDensityControllerConfig, mcmc_densify,
                              mcmc_noise_step)
 from ..training.trainer import Trainer, TrainState
-from ..utils.checkpoint import save_checkpoint
+from ..utils.checkpoint import (find_latest_checkpoint, load_checkpoint,
+                                load_checkpoint_meta, save_checkpoint)
 from ..utils.ply import save_state_ply
 from .metrics import psnr as psnr_fn
 from .schedulers import exponential_decay
@@ -62,6 +63,10 @@ class FitConfig:
     size_bucket: int = 64
     """pad images up to multiples of this so mixed-size datasets share
     compiled train steps (masked loss over the padding)"""
+    resume: str = "auto"
+    """'auto': resume from the latest checkpoint under output_dir (the
+    reference's `--ckpt_path last` auto-search, internal/cli.py:92-110);
+    'never': always start fresh; anything else: explicit checkpoint path."""
 
 
 def _round_capacity(n: int) -> int:
@@ -73,6 +78,12 @@ def _round_capacity(n: int) -> int:
 
 def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
         val_at_end: bool = True):
+    if cfg.resume not in ("auto", "never", "", None) \
+            and not os.path.isdir(cfg.resume):
+        # fail fast: an explicit path that does not exist should not cost
+        # the user minutes of TPU compile before erroring
+        raise FileNotFoundError(
+            f"fit.resume checkpoint not found: {cfg.resume}")
     os.makedirs(cfg.output_dir, exist_ok=True)
     if cfg.matmul_precision:
         jax.config.update("jax_default_matmul_precision",
@@ -105,6 +116,11 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
 
     state = trainer.setup(gaussians, outputs.camera_extent,
                           outputs.prune_extent)
+    if trainer.output_processor is not None:
+        state = trainer.init_output_processor(state,
+                                              len(outputs.train_set))
+    name_to_idx = {n: i for i, n in
+                   enumerate(outputs.train_set.image_names)}
     is_mcmc = isinstance(trainer.density_cfg, MCMCDensityControllerConfig)
     means_lr_sched = exponential_decay(
         lr_init=trainer.model.optimization.means_lr_init
@@ -114,10 +130,38 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
         * trainer.cameras_extent,
         max_steps=trainer.model.optimization.means_lr_max_steps)
 
+    # adaptive tile-intersection capacity: start tight, grow 2x whenever the
+    # binning reports drops (bucketed-recompile policy, SURVEY.md hard part 2)
+    isect_capacity = _round_capacity(max(8 * pc.xyz.shape[0], 1 << 18))
+
+    # ---- mid-training resume (reference --ckpt_path last auto-search) ----
+    start_step = 1
+    resume_path = None
+    if cfg.resume == "auto":
+        resume_path = find_latest_checkpoint(
+            os.path.join(cfg.output_dir, "checkpoints"))
+    elif cfg.resume not in ("never", "", None):
+        resume_path = cfg.resume
+    if resume_path is not None:
+        meta = load_checkpoint_meta(resume_path)
+        stored_cap = (meta or {}).get("capacity", state.params.capacity)
+        if stored_cap != state.params.capacity:
+            # capacity only ever grows from the initial value, so the grown
+            # template matches the stored shapes
+            state = trainer.grow_state(state, stored_cap)
+        state = load_checkpoint(resume_path, state)
+        start_step = int(state.step) + 1
+        if meta is not None:
+            rng = jnp.asarray(np.asarray(meta["rng"], np.uint32))
+            isect_capacity = int(meta.get("isect_capacity", isect_capacity))
+        print(f"[fit] resumed {resume_path} -> continuing at {start_step}")
+    if start_step > cfg.max_steps:
+        print("[fit] checkpoint already at max_steps; nothing to train")
+
     bg = jnp.asarray(trainer.config.background_color, jnp.float32)
     dataset = CachedDataset(outputs.train_set,
                             background=np.asarray(bg, np.float32))
-    loader = iter(DataLoader(dataset, seed=cfg.seed))
+    loader = iter(DataLoader(dataset, seed=cfg.seed, skip=start_step - 1))
 
     tb_writer = None
     if cfg.tensorboard:
@@ -128,16 +172,13 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
             print(f"[fit] tensorboard unavailable: {e}")
 
     log_path = os.path.join(cfg.output_dir, "train_log.csv")
-    log_f = open(log_path, "w", newline="")
+    log_f = open(log_path, "a" if start_step > 1 else "w", newline="")
     logger = csv.writer(log_f)
-    logger.writerow(["step", "loss", "n_gaussians", "steps_per_s"])
+    if start_step == 1:
+        logger.writerow(["step", "loss", "n_gaussians", "steps_per_s"])
 
     t_last = time.perf_counter()
     mcmc_cfg = trainer.density_cfg if is_mcmc else None
-
-    # adaptive tile-intersection capacity: start tight, grow 2x whenever the
-    # binning reports drops (bucketed-recompile policy, SURVEY.md hard part 2)
-    isect_capacity = _round_capacity(max(8 * pc.xyz.shape[0], 1 << 18))
 
     @jax.jit
     def _mcmc_density(state: TrainState, key):
@@ -158,6 +199,60 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
     is_appearance = isinstance(trainer, AppearanceTrainer)
     grad_buffer = trainer.init_grad_buffer(state) if is_grad_acc else None
 
+    # Taming 3DGS: precompute the quadratic count-budget curve from the
+    # INITIAL gaussian count (reference taming_3dgs_density_controller.py:376)
+    from .taming import (Taming3DGSDensityControllerConfig,
+                         compute_gaussian_scores, get_count_array,
+                         taming_densify)
+    is_taming = isinstance(trainer.density_cfg,
+                           Taming3DGSDensityControllerConfig)
+    taming_budgets = None
+    if is_taming:
+        d = trainer.density_cfg
+        taming_budgets = get_count_array(
+            int(state.gaussians.n_alive), d.budget, d.densify_until_iter,
+            d.densify_from_iter, d.densification_interval, d.mode)
+
+    def taming_density_round(state, key, step):
+        """One budgeted densify round; grows capacity when the budget
+        exceeds free slots (same retry discipline as vanilla)."""
+        d = trainer.density_cfg
+        round_i = (step - d.densify_from_iter) // d.densification_interval
+        budget = taming_budgets[min(max(round_i, 0),
+                                    len(taming_budgets) - 1)]
+        n_cams = min(d.n_score_cameras, len(outputs.train_set))
+        sel = np.linspace(0, len(outputs.train_set) - 1, n_cams).astype(int)
+        cams_s, gts = [], []
+        for i in sel:
+            cam_i, _, img_i = dataset.get(int(i))
+            cams_s.append(cam_i)
+            gts.append(img_i)
+        grads = jnp.where(state.density.denom > 0,
+                          state.density.grad_accum
+                          / jnp.maximum(state.density.denom, 1.0), 0.0)
+        scores = compute_gaussian_scores(
+            trainer.renderer, state.gaussians, cams_s, gts, grads, bg,
+            trainer.sh_degree_at(step), d.score_coeffs,
+            lambda_dssim=trainer.metrics_cfg.lambda_dssim)
+        use_size_prune = jnp.asarray(step > d.opacity_reset_interval)
+
+        def one_pass(st, sc):
+            gstate, opt_state, dstate, n_trunc = taming_densify(
+                key, st.gaussians, st.opt_state, st.density, d, sc,
+                budget, trainer.cameras_extent, trainer.prune_extent,
+                use_size_prune)
+            return st.replace(params=gstate.params, alive=gstate.alive,
+                              opt_state=opt_state, density=dstate,
+                              extra=gstate.extra), n_trunc
+
+        new_state, n_trunc = one_pass(state, scores)
+        if int(n_trunc) > 0:
+            grown = trainer.grow_state(state, 2 * state.params.capacity)
+            pad = jnp.zeros((grown.params.capacity - scores.shape[0],),
+                            scores.dtype)
+            new_state, _ = one_pass(grown, jnp.concatenate([scores, pad]))
+        return new_state
+
     def bucketed(img):
         """pad HWC image to the size bucket; returns (img, mask|None)."""
         b = max(cfg.size_bucket, 1)
@@ -171,25 +266,33 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
         mask[:H, :W] = 1.0
         return out, mask
 
-    for step in range(1, cfg.max_steps + 1):
+    def ckpt_meta():
+        return {"capacity": int(state.params.capacity),
+                "rng": np.asarray(rng).tolist(),
+                "isect_capacity": int(isect_capacity)}
+
+    for step in range(start_step, cfg.max_steps + 1):
         cam, name, img = next(loader)
         img, mask = bucketed(img)
         H, W = img.shape[:2]
         sh_degree = trainer.sh_degree_at(step)
+        jmask = None if mask is None else jnp.asarray(mask)
         if is_appearance:
             state, scalars = trainer.train_step_appearance(
                 state, cam, jnp.asarray(img), H, W, sh_degree, bg,
-                warm_up=step < trainer.appearance_opt.warm_up)
+                warm_up=step < trainer.appearance_opt.warm_up,
+                mask=jmask, isect_capacity=isect_capacity)
         elif is_grad_acc:
             k = trainer.grad_acc.accumulation_at(step)
             state, grad_buffer, scalars = trainer.train_step_accumulate(
                 state, grad_buffer, cam, jnp.asarray(img), H, W, sh_degree,
-                bg, apply=(step % k == 0), inv_k=1.0 / k)
+                bg, apply=(step % k == 0), inv_k=1.0 / k, mask=jmask,
+                isect_capacity=isect_capacity)
         else:
             state, scalars = trainer.train_step(
                 state, cam, jnp.asarray(img), H, W, sh_degree, bg,
-                mask=None if mask is None else jnp.asarray(mask),
-                isect_capacity=isect_capacity)
+                mask=jmask, isect_capacity=isect_capacity,
+                image_idx=jnp.asarray(name_to_idx.get(name, 0), jnp.int32))
         if step % 50 == 0 and int(scalars["n_dropped_isects"]) > 0:
             isect_capacity *= 2
             print(f"[fit] isect capacity -> {isect_capacity}")
@@ -203,6 +306,14 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
             if step < cfg.max_steps:
                 state = _mcmc_noise(state, k2,
                                     means_lr_sched(jnp.asarray(step)))
+        elif is_taming:
+            d = trainer.density_cfg
+            if (d.densify_from_iter < step < d.densify_until_iter
+                    and step % d.densification_interval == 0):
+                state = taming_density_round(state, k1, step)
+            if (step < d.densify_until_iter
+                    and step % d.opacity_reset_interval == 0):
+                state = trainer.opacity_reset_step(state)
         else:
             state = trainer.maybe_density_ops(state, k1, step)
 
@@ -256,16 +367,16 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
 
         if step in cfg.save_iterations:
             save_checkpoint(os.path.join(cfg.output_dir, "checkpoints"),
-                            state, step)
+                            state, step, meta=ckpt_meta())
             if cfg.save_ply:
                 save_state_ply(os.path.join(
                     cfg.output_dir, "point_cloud",
                     f"iteration_{step}", "point_cloud.ply"),
                     state.gaussians)
 
-    if cfg.max_steps not in cfg.save_iterations:
+    if cfg.max_steps not in cfg.save_iterations and start_step <= cfg.max_steps:
         save_checkpoint(os.path.join(cfg.output_dir, "checkpoints"), state,
-                        cfg.max_steps)
+                        cfg.max_steps, meta=ckpt_meta())
         if cfg.save_ply:
             save_state_ply(os.path.join(
                 cfg.output_dir, "point_cloud",

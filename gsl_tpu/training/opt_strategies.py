@@ -45,11 +45,13 @@ class GradAccTrainer(Trainer):
         return jax.tree.map(jnp.zeros_like, state.params)
 
     @functools.partial(jax.jit, static_argnames=(
-        "self", "img_height", "img_width", "sh_degree", "apply"))
+        "self", "img_height", "img_width", "sh_degree", "apply",
+        "isect_capacity"))
     def train_step_accumulate(self, state: TrainState, grad_buffer, camera,
                               gt_image, img_height: int, img_width: int,
                               sh_degree: int, bg_color, apply: bool,
-                              inv_k: float):
+                              inv_k: float, mask=None,
+                              isect_capacity: int = None):
         tap0 = jnp.zeros((state.params.capacity, 2), jnp.float32)
 
         def loss_fn(params, tap):
@@ -58,7 +60,8 @@ class GradAccTrainer(Trainer):
                                    extra=state.extra)
             return self.render_losses(
                 gstate, camera, img_height, img_width, bg_color, sh_degree,
-                gt_image, None, tap, jnp.zeros_like(tap), state.step)
+                gt_image, mask, tap, jnp.zeros_like(tap), state.step,
+                isect_capacity=isect_capacity)
 
         (loss, (scalars, radii, n_dropped)), (pgrads, tap_grad) = (
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
@@ -84,4 +87,5 @@ class GradAccTrainer(Trainer):
         new_state = TrainState(
             params=params, alive=state.alive, opt_state=opt_state,
             density=density, step=state.step + 1, extra=state.extra)
-        return new_state, grad_buffer, scalars
+        return new_state, grad_buffer, dict(scalars,
+                                            n_dropped_isects=n_dropped)

@@ -83,6 +83,54 @@ def zero_opt_state_rows(opt_state: Any, row_mask: jnp.ndarray,
     return jax.tree.map(fix, opt_state)
 
 
+def grow_opt_state(old_state: Any, new_state: Any, old_capacity: int) -> Any:
+    """Carry Adam moments (and schedule counts) across a capacity growth.
+
+    `new_state` is `tx.init(grown_params)` (zero moments at the new
+    capacity); every leaf of `old_state` whose leading dim == old_capacity is
+    written into the head of the corresponding new leaf, and every other
+    leaf (scalar `count`, etc.) keeps its OLD value so LR schedules continue
+    mid-training. Functional analogue of the reference's
+    `cat_tensors_to_optimizers_` zero-padding only the new rows
+    (/root/reference/internal/density_controllers/density_controller.py:47-103).
+    """
+    def fix(old, new):
+        if (isinstance(new, jnp.ndarray) and getattr(old, "ndim", -1) ==
+                getattr(new, "ndim", -2) and new.ndim >= 1
+                and old.shape[0] == old_capacity
+                and new.shape[0] > old_capacity
+                and old.shape[1:] == new.shape[1:]):
+            return new.at[:old_capacity].set(old)
+        return old
+
+    return jax.tree.map(fix, old_state, new_state)
+
+
+def zero_opacity_opt_state(opt_state: Any, opacities_shape) -> Any:
+    """Zero Adam moments of the `opacities` leaf ONLY, targeted by pytree
+    path (reference `_reset_opacities` replace_tensors selector,
+    vanilla_density_controller.py:270-278).
+
+    Shape-based matching would also clobber any other [CAP, 1] leaf (PVG's
+    t_centers/t_scales share that shape), so a leaf is zeroed only when the
+    string 'opacities' appears in its path — either the multi_transform
+    label dict key or the GaussianParams attribute name.
+    """
+    from jax.tree_util import tree_map_with_path
+
+    def fix(path, leaf):
+        if not (isinstance(leaf, jnp.ndarray)
+                and jnp.issubdtype(leaf.dtype, jnp.floating)
+                and leaf.shape == tuple(opacities_shape)):
+            return leaf
+        names = [str(getattr(k, "key", getattr(k, "name", ""))) for k in path]
+        if any(n == "opacities" for n in names):
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    return tree_map_with_path(fix, opt_state)
+
+
 def selective_adam_update(updates, visible: jnp.ndarray):
     """Visibility-gated parameter updates: zero the update rows of gaussians
     that did not hit any pixel this step.

@@ -31,7 +31,7 @@ from .density import (DensityControlState, VanillaDensityControllerConfig,
                       densify_and_prune, init_density_state, reset_opacities,
                       update_stats)
 from .metrics import VanillaMetricsConfig, train_loss, psnr
-from .optimizers import build_gaussian_optimizer
+from .optimizers import build_gaussian_optimizer, grow_opt_state
 
 
 @flax.struct.dataclass
@@ -67,6 +67,7 @@ class Trainer:
         density: VanillaDensityControllerConfig = None,
         metrics: VanillaMetricsConfig = None,
         config: TrainerConfig = None,
+        output_processor=None,
     ):
         self.model = model or VanillaGaussianConfig()
         self.renderer_cfg = renderer or TileRendererConfig()
@@ -74,9 +75,48 @@ class Trainer:
         self.density_cfg = density or VanillaDensityControllerConfig()
         self.metrics_cfg = metrics or VanillaMetricsConfig()
         self.config = config or TrainerConfig()
+        self.output_processor = output_processor
+        self.op_tx = None
         self.cameras_extent: float = 1.0
         self.prune_extent: float = 1.0
         self.tx = None
+
+    # ---- output processors (bilagrid / exposure) ----
+    def init_output_processor(self, state: TrainState,
+                              n_images: int) -> TrainState:
+        """Create per-image processor params + their own Adam, stored in
+        TrainState.extra so they checkpoint/resume with the run (reference
+        output processors own optimizers, gaussian_splatting.py:625-681)."""
+        import optax
+
+        from .output_processors import (BilateralGridConfig,
+                                        init_bilateral_grids,
+                                        init_exposures)
+        cfg = dataclasses.replace(self.output_processor, n_images=n_images)
+        self.output_processor = cfg
+        if isinstance(cfg, BilateralGridConfig):
+            params = init_bilateral_grids(cfg)
+        else:
+            params = init_exposures(cfg)
+        self.op_tx = optax.adam(cfg.lr)
+        extra = dict(state.extra or {})
+        extra["__outproc__"] = params
+        extra["__outproc_opt__"] = self.op_tx.init(params)
+        return state.replace(extra=extra)
+
+    def _apply_output_processor(self, op_params, image_idx, render):
+        """render [H, W, 3] -> (processed, regularizer)."""
+        from .output_processors import (BilateralGridConfig,
+                                        apply_exposure,
+                                        bilateral_grid_tv_loss,
+                                        slice_bilateral_grid)
+        if isinstance(self.output_processor, BilateralGridConfig):
+            g = op_params[image_idx]
+            out = slice_bilateral_grid(g, render)
+            reg = self.output_processor.tv_weight \
+                * bilateral_grid_tv_loss(g[None])
+            return out, reg
+        return apply_exposure(op_params[image_idx], render), 0.0
 
     # ---- setup ----
     def setup(self, gaussians: GaussianState, cameras_extent: float,
@@ -107,15 +147,22 @@ class Trainer:
     # ---- loss computation (override point for variant trainers) ----
     def render_losses(self, gstate, camera, img_height, img_width, bg_color,
                       sh_degree, gt_image, mask, tap, abstap, step,
-                      aux_inputs=None, isect_capacity=None):
+                      aux_inputs=None, isect_capacity=None,
+                      op_params=None, image_idx=None):
         out = self.renderer.forward(
             gstate, camera, img_height, img_width, bg_color, sh_degree,
             means2d_tap=tap, absgrad_tap=abstap,
             isect_capacity=isect_capacity)
+        render = out.render
+        op_reg = 0.0
+        if op_params is not None:
+            render, op_reg = self._apply_output_processor(
+                op_params, image_idx, render)
         loss, scalars = train_loss(
-            out.render, gt_image, mask,
+            render, gt_image, mask,
             lambda_dssim=self.metrics_cfg.lambda_dssim,
             rgb_diff_loss=self.metrics_cfg.rgb_diff_loss)
+        loss = loss + op_reg
         # MCMC opacity/scale L1 regularizers (mcmc_metrics.py:28-66)
         m = self.metrics_cfg
         params = gstate.params
@@ -139,25 +186,38 @@ class Trainer:
                    gt_image: jnp.ndarray, img_height: int, img_width: int,
                    sh_degree: int, bg_color: jnp.ndarray,
                    mask: Optional[jnp.ndarray] = None,
-                   aux_inputs=None, isect_capacity: Optional[int] = None):
+                   aux_inputs=None, isect_capacity: Optional[int] = None,
+                   image_idx: Optional[jnp.ndarray] = None):
         tap0 = jnp.zeros((state.params.capacity, 2), jnp.float32)
-        use_absgrad = self.density_cfg is not None and getattr(
-            self.density_cfg, "absgrad", False)
+        # the absgrad tap is produced only by the Pallas backward; on the
+        # XLA backend its gradient is identically zero, which would silently
+        # disable densification — fall back to the regular means2d tap there
+        # (an approximation: |sum| instead of sum|.|, per-tile)
+        use_absgrad = (self.density_cfg is not None
+                       and getattr(self.density_cfg, "absgrad", False)
+                       and self.renderer.uses_pallas())
+        has_op = (self.output_processor is not None
+                  and isinstance(state.extra, dict)
+                  and "__outproc__" in state.extra)
+        op_params0 = state.extra["__outproc__"] if has_op else None
 
-        def loss_fn(params, tap, abstap):
+        def loss_fn(params, tap, abstap, op_params):
             gstate = GaussianState(params=params, alive=state.alive,
                                    extra=state.extra)
             return self.render_losses(
                 gstate, camera, img_height, img_width, bg_color, sh_degree,
                 gt_image, mask, tap, abstap, state.step,
-                aux_inputs=aux_inputs, isect_capacity=isect_capacity)
+                aux_inputs=aux_inputs, isect_capacity=isect_capacity,
+                op_params=op_params, image_idx=image_idx)
 
         # absgrad (AbsGS) stats come from the Pallas backward's abs tap;
         # only differentiate wrt it when configured (it is zero otherwise)
         argnums = (0, 1, 2) if use_absgrad else (0, 1)
+        if has_op:
+            argnums = argnums + (3,)
         (loss, (scalars, radii, n_dropped)), grads = (
             jax.value_and_grad(loss_fn, argnums=argnums, has_aux=True)(
-                state.params, tap0, jnp.zeros_like(tap0)))
+                state.params, tap0, jnp.zeros_like(tap0), op_params0))
         pgrads, tap_grad = grads[0], grads[1]
         stat_grad = grads[2] if use_absgrad else tap_grad
 
@@ -170,9 +230,21 @@ class Trainer:
             pgrads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
 
+        extra = state.extra
+        if has_op:
+            # the processor's own optimizer steps inside the train step
+            # (reference output_processors own their optimizers)
+            op_grads = grads[-1]
+            op_updates, op_opt = self.op_tx.update(
+                op_grads, state.extra["__outproc_opt__"], op_params0)
+            extra = dict(state.extra,
+                         __outproc__=jax.tree.map(
+                             lambda p, u: p + u, op_params0, op_updates),
+                         __outproc_opt__=op_opt)
+
         new_state = TrainState(
             params=params, alive=state.alive, opt_state=opt_state,
-            density=density, step=state.step + 1, extra=state.extra)
+            density=density, step=state.step + 1, extra=extra)
         scalars = dict(scalars, n_dropped_isects=n_dropped)
         return new_state, scalars
 
@@ -204,6 +276,27 @@ class Trainer:
             sh_degree)
         return out.render, {"psnr": psnr(out.render, gt_image)}
 
+    # ---- capacity growth (host-side recompile boundary) ----
+    def grow_state(self, state: TrainState, new_capacity: int) -> TrainState:
+        """Grow capacity 2x, CARRYING Adam moments, schedule counts and
+        density stats for existing rows (the reference zero-pads only the
+        new rows, density_controller.py:47-103; re-initializing would reset
+        training dynamics at every growth event)."""
+        old_cap = state.params.capacity
+        gstate = grow_capacity(state.gaussians, new_capacity)
+        opt_state = grow_opt_state(
+            state.opt_state, self.tx.init(gstate.params), old_cap)
+
+        def pad(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((new_capacity - old_cap,) + x.shape[1:],
+                              x.dtype)], axis=0)
+
+        density = jax.tree.map(pad, state.density)
+        return TrainState(
+            params=gstate.params, alive=gstate.alive, opt_state=opt_state,
+            density=density, step=state.step, extra=gstate.extra)
+
     # ---- python-side schedule (reference after_backward schedule) ----
     def maybe_density_ops(self, state: TrainState, key: jax.Array,
                           step: int) -> TrainState:
@@ -214,19 +307,21 @@ class Trainer:
         if step < cfg.densify_until_iter:
             if (step > cfg.densify_from_iter
                     and step % cfg.densification_interval == 0):
-                state, n_trunc = self.density_step(
-                    state, key,
-                    jnp.asarray(step > cfg.opacity_reset_interval))
+                use_size_prune = jnp.asarray(
+                    step > cfg.opacity_reset_interval)
+                prev = state
+                state, n_trunc = self.density_step(state, key,
+                                                   use_size_prune)
                 if int(n_trunc) > 0:
-                    # capacity exhausted: grow 2x host-side (recompile)
-                    gstate = grow_capacity(
-                        state.gaussians, 2 * state.params.capacity)
-                    opt_state = self.tx.init(gstate.params)
-                    state = TrainState(
-                        params=gstate.params, alive=gstate.alive,
-                        opt_state=opt_state,
-                        density=init_density_state(gstate.capacity),
-                        step=state.step, extra=gstate.extra)
+                    # capacity exhausted: grow 2x from the PRE-densify
+                    # snapshot and redo the pass so the truncated children
+                    # of this round are not silently dropped
+                    state = self.grow_state(prev, 2 * prev.params.capacity)
+                    state, n_trunc = self.density_step(state, key,
+                                                       use_size_prune)
+                    if int(n_trunc) > 0:  # pathological single round
+                        state = self.grow_state(
+                            state, 2 * state.params.capacity)
             white_bg = all(c == 1.0 for c in self.config.background_color)
             if (step % cfg.opacity_reset_interval == 0
                     or (white_bg and step == cfg.densify_from_iter)):

@@ -33,14 +33,35 @@ def _unpack_zero_size(restored, target):
     return jax.tree.map(f, restored, target)
 
 
-def save_checkpoint(ckpt_dir: str, state, step: Optional[int] = None):
+def save_checkpoint(ckpt_dir: str, state, step: Optional[int] = None,
+                    meta: Optional[dict] = None):
+    """`meta` (JSON-serializable) is written next to the tree so resume can
+    rebuild the target shapes (capacity) and loop context (rng,
+    isect_capacity) before restoring — the analogue of the reference's
+    hyperparameter snapshot inside the Lightning ckpt
+    (gaussian_splatting.py:66 save_hyperparameters)."""
+    import json
+
     import orbax.checkpoint as ocp
 
     step = int(step if step is not None else state.step)
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, _pack_zero_size(jax.device_get(state)), force=True)
+    if meta is not None:
+        with open(os.path.join(path, "fit_meta.json"), "w") as f:
+            json.dump(dict(meta, step=step), f)
     return path
+
+
+def load_checkpoint_meta(path: str) -> Optional[dict]:
+    import json
+
+    meta_path = os.path.join(path, "fit_meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        return json.load(f)
 
 
 def find_latest_checkpoint(ckpt_dir: str) -> Optional[str]:

@@ -1,0 +1,77 @@
+"""Mid-training resume: kill at step k, resume, trajectory matches an
+uninterrupted run bit-for-bit (VERDICT round-1 'next' item 4; reference
+`--ckpt_path last` semantics, internal/cli.py:92-110)."""
+import os
+
+import numpy as np
+import jax
+
+from gsl_tpu.cli import build_components
+from gsl_tpu.training.fit import fit
+
+from test_fit_e2e import _make_dataset
+
+
+def _cfg(out_dir, max_steps, resume="auto"):
+    return {
+        "data": {"parser": {"class_path": "Blender",
+                            "init_args": {"path": os.path.dirname(out_dir),
+                                          "random_point_count": 300,
+                                          "white_background": False}}},
+        "model": {
+            "gaussian": {"sh_degree": 1},
+            "renderer": {"init_args": {"max_per_tile": 256, "chunk": 32,
+                                       "min_isect_capacity": 8192}},
+            # densify every 4 steps so the rng stream is actually consumed
+            # and restored rng state matters for the parity check
+            "density": {"init_args": {"densify_from_iter": 1,
+                                      "densification_interval": 4,
+                                      "opacity_reset_interval": 10000}},
+        },
+        "trainer": {"max_steps": max_steps},
+        "fit": {"max_steps": max_steps, "output_dir": out_dir,
+                "min_capacity": 1024, "log_interval": 50,
+                "save_iterations": [], "save_ply": False,
+                "resume": resume},
+    }
+
+
+def _run(root, out_dir, max_steps, resume="auto"):
+    trainer, dataparser_cfg, fit_cfg = build_components(
+        _cfg(out_dir, max_steps, resume))
+    dataparser_cfg.path = root
+    outputs = dataparser_cfg.instantiate().get_outputs()
+    state, _ = fit(trainer, outputs, fit_cfg, val_at_end=False)
+    return state
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    _make_dataset(str(tmp_path))
+
+    # uninterrupted 16-step run
+    ref = _run(str(tmp_path), str(tmp_path / "ref"), 16, resume="never")
+
+    # killed at 8, resumed to 16
+    _run(str(tmp_path), str(tmp_path / "resumed"), 8, resume="never")
+    assert os.path.isdir(str(tmp_path / "resumed" / "checkpoints" /
+                             "step_8"))
+    res = _run(str(tmp_path), str(tmp_path / "resumed"), 16, resume="auto")
+
+    assert int(res.step) == int(ref.step) == 16
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref.params),
+            jax.tree_util.tree_leaves_with_path(res.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=0,
+            err_msg=f"params diverged at {pa}")
+    # optimizer moments also identical
+    for a, b in zip(jax.tree_util.tree_leaves(ref.opt_state),
+                    jax.tree_util.tree_leaves(res.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_resume_never_starts_fresh(tmp_path):
+    _make_dataset(str(tmp_path))
+    _run(str(tmp_path), str(tmp_path / "o"), 4, resume="never")
+    st = _run(str(tmp_path), str(tmp_path / "o"), 4, resume="never")
+    assert int(st.step) == 4

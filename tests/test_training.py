@@ -184,3 +184,96 @@ def test_optimizer_per_property_lrs():
         float(jnp.abs(updates.shs_dc[0, 0, 0])), 2.5e-3, rtol=1e-3)
     np.testing.assert_allclose(
         float(jnp.abs(updates.shs_rest[0, 0, 0])), 2.5e-3 / 20.0, rtol=1e-3)
+
+
+def _nonzero_opt_state(tx, params):
+    """One update with fake grads so Adam moments are nonzero."""
+    opt_state = tx.init(params)
+    grads = jax.tree.map(
+        lambda p: jnp.full_like(p, 0.1) if p is not None else None, params)
+    _, opt_state = tx.update(grads, opt_state, params)
+    return opt_state
+
+
+def test_grow_state_preserves_adam_moments():
+    """Capacity growth must carry moments + schedule count for old rows
+    (VERDICT round-1 weak #2)."""
+    from gsl_tpu.training.trainer import TrainState
+
+    xyz = np.random.RandomState(0).randn(20, 3).astype(np.float32)
+    rgb = np.full((20, 3), 0.5, np.float32)
+    model_cfg = VanillaGaussianConfig(sh_degree=1)
+    gstate = model_cfg.init_from_pcd(xyz, rgb, capacity=32)
+    trainer = Trainer(model=model_cfg)
+    state = trainer.setup(gstate, cameras_extent=1.0)
+    state = state.replace(
+        opt_state=_nonzero_opt_state(trainer.tx, state.params),
+        step=jnp.asarray(7, jnp.int32))
+
+    grown = trainer.grow_state(state, 64)
+    assert grown.params.capacity == 64
+    assert int(grown.step) == 7
+
+    old_leaves = jax.tree.leaves(state.opt_state)
+    new_leaves = jax.tree.leaves(grown.opt_state)
+    assert len(old_leaves) == len(new_leaves)
+    checked_rows = checked_counts = 0
+    for o, nw in zip(old_leaves, new_leaves):
+        if getattr(o, "ndim", 0) >= 1 and o.shape[0] == 32:
+            assert nw.shape[0] == 64
+            np.testing.assert_allclose(np.asarray(nw[:32]), np.asarray(o))
+            np.testing.assert_allclose(np.asarray(nw[32:]), 0.0)
+            checked_rows += 1
+        elif getattr(o, "ndim", -1) == 0:
+            # schedule counts continue (means LR schedule mid-training)
+            assert int(nw) == int(o)
+            checked_counts += 1
+    assert checked_rows >= 12 and checked_counts >= 6
+    # params and alive preserved
+    np.testing.assert_allclose(np.asarray(grown.params.means[:32]),
+                               np.asarray(state.params.means))
+    assert int(jnp.sum(grown.alive)) == int(jnp.sum(state.alive))
+
+
+def test_opacity_reset_targets_opacities_leaf_only():
+    """PVG's t_centers/t_scales share the [CAP, 1] shape; an opacity reset
+    must not clobber their Adam moments (VERDICT round-1 weak #4)."""
+    cap = 16
+    r = np.random.RandomState(1)
+    params = GaussianParams(
+        means=jnp.asarray(r.randn(cap, 3), jnp.float32),
+        scales=jnp.zeros((cap, 3)), rotations=jnp.zeros((cap, 4)),
+        opacities=jnp.asarray(r.randn(cap, 1), jnp.float32),
+        shs_dc=jnp.zeros((cap, 1, 3)), shs_rest=jnp.zeros((cap, 0, 3)),
+        t_centers=jnp.asarray(r.randn(cap, 1), jnp.float32),
+        t_scales=jnp.asarray(r.randn(cap, 1), jnp.float32),
+        velocities=jnp.zeros((cap, 3)))
+    tx = build_gaussian_optimizer(OptimizationConfig(), 1.0, has_pvg=True)
+    opt_state = _nonzero_opt_state(tx, params)
+    gstate = GaussianState(params=params,
+                           alive=jnp.ones((cap,), bool))
+
+    new_state, new_opt = reset_opacities(gstate, opt_state, 0.01)
+
+    def moments_of(label, opt):
+        flat = jax.tree_util.tree_flatten_with_path(opt)[0]
+        out = {}
+        for path, leaf in flat:
+            names = [str(getattr(k, "key", getattr(k, "name", "")))
+                     for k in path]
+            if label in names and getattr(leaf, "ndim", 0) >= 1:
+                out[tuple(names)] = np.asarray(leaf)
+        return out
+
+    old_pvg = moments_of("t_centers", opt_state)
+    new_pvg = moments_of("t_centers", new_opt)
+    assert old_pvg, "expected t_centers moment leaves"
+    for k in old_pvg:
+        np.testing.assert_allclose(new_pvg[k], old_pvg[k])
+
+    # but the true opacities moments ARE zeroed
+    old_op = moments_of("opacities", opt_state)
+    zeroed = sum(1 for k, v in moments_of("opacities", new_opt).items()
+                 if v.shape == (cap, 1) and np.all(v == 0.0)
+                 and np.any(old_op[k] != 0.0))
+    assert zeroed >= 2  # mu and nu of the opacities adam
