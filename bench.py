@@ -50,12 +50,15 @@ def main():
             state.params.rotations, cam.world_to_camera, cam.fx, cam.fy,
             cam.cx, cam.cy, W, H))()
         rmin, rmax = tile_rect(proj, 16, -(-W // 16), -(-H // 16))
-        total = int(jnp.sum((rmax[:, 0] - rmin[:, 0])
-                            * (rmax[:, 1] - rmin[:, 1])))
-        cap_i = 1 << 18
-        while cap_i < int(total * 1.3):
-            cap_i <<= 1
-        print(f"# isects={total} capacity={cap_i}", file=sys.stderr)
+        counts = (rmax[:, 0] - rmin[:, 0]) * (rmax[:, 1] - rmin[:, 1])
+        total = int(jnp.sum(counts))
+        # slot budget includes the one dummy slot per culled gaussian, sized
+        # tight (sort cost is linear in capacity) and rounded to the expand
+        # block
+        padded = int(jnp.sum(jnp.maximum(counts, 1)))
+        cap_i = -(-int(padded * 1.08) // 1024) * 1024
+        print(f"# isects={total} padded={padded} capacity={cap_i}",
+              file=sys.stderr)
     else:
         cap_i = int(isect_cap)
     renderer = TileRendererConfig(

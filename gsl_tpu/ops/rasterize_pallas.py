@@ -1,36 +1,62 @@
 """Pallas TPU rasterizer: depth-sorted alpha compositing, forward + backward.
 
-TPU-native replacement for gsplat's `rasterize_to_pixels` CUDA kernels
-(/root/reference/internal/renderers/gsplat_v1_renderer.py:568-640), with the
+TPU-native replacement for gsplat's `isect_tiles` / `isect_offset_encode` /
+`rasterize_to_pixels` CUDA kernels
+(/root/reference/internal/renderers/gsplat_v1_renderer.py:424-640), with the
 exact compositing semantics of `rasterize_reference.rasterize_oracle`.
 
-Design (see SURVEY.md §7 "hard parts"):
+Round-2 redesign ("sort-centric, gather-free"). A device trace of the round-1
+pipeline showed XLA gathers running at 1-12 GB/s on TPU — the expansion
+gather, padded-layout build and backward permute cost ~310 ms/frame at
+1M-gaussian/1080p scale, dwarfing the kernels. Every bulk random-access
+data movement is therefore expressed as either
 
-1. `isect_encode_padded` (XLA): after the (tile, depth) sort, each tile's
-   intersection range is padded to a multiple of CHUNK and packed into a
-   contiguous stream; padded slots point at a dummy zero-opacity gaussian, so
-   the kernel needs no per-slot validity masks. A chunk schedule
-   (tile id / first / last / position) drives the kernel grid.
+  (a) a `lax.sort` that CARRIES the payload as extra operands (the sort is
+      the only efficient bulk permutation engine on TPU), or
+  (b) a Pallas kernel whose random access is confined to a BOUNDED window,
+      done as a one-hot matmul on the MXU (`precision=HIGH` is exact when
+      one operand is an exact-bf16 one-hot matrix).
 
-2. Forward kernel: grid = (n_chunks,). The payload stream is field-major
-   [8, capacity_padded] so each block [8, CHUNK] arrives lane-contiguous and
-   Pallas double-buffers the DMA automatically. Per chunk, the sequential
-   per-pixel transmittance recurrence is closed into matmuls on the MXU:
-     lf = log1p(-alpha)                  [P, K]
-     S_exc = lf @ U (strictly upper-tri) -> exclusive cumsum along K
-     T_exc = T_carry * exp(S_exc)
-     acc  += (comp * alpha * T_exc) @ colors^T
-   The CUDA early-break (T <= 1e-4) is reproduced exactly and the break
-   index i_stop is recorded per pixel for the backward pass. Accumulators
-   live in VMEM scratch across the (sequential) grid; outputs flush on each
-   tile's last chunk.
+Pipeline:
 
-3. Backward kernel: reverse chunk walk. T is reconstructed back-to-front by
-   the division trick (composited factors only, keyed off i_stop); suffix
-   sums close into triangular matmuls the same way. Per-slot gradients are
-   written to an output stream (no atomics) and segment-summed by gaussian
-   id in XLA afterwards — absgrad (AbsGS) falls out as a second segment-sum
-   of |slot grad| at identical granularity to the CUDA atomics version.
+1.  `isect_encode_padded` (XLA, [N]-sized only): tile rects, per-gaussian
+    intersection counts. Every gaussian is assigned `max(count, 1)` slots —
+    the dummy slot of a culled gaussian guarantees that any window of B
+    consecutive expansion slots touches at most B+1 CONSECUTIVE gaussians,
+    which is what makes the windowed Pallas kernels possible.
+
+2.  EXPAND kernel: grid over 512-slot blocks; each block reads an aligned
+    1024-row window of the per-gaussian table (two aligned BlockSpec inputs)
+    and emits, per slot, the sort key `tile << depth_bits | depth_bits` and
+    the full payload row (gid, means2d, conic, opacity, channels) via a
+    one-hot MXU matmul. StopThePop tile-based culling (peak alpha < 1/255
+    within the tile) is evaluated here and marks the key invalid.
+
+3.  ONE `lax.sort` over (key, gid, payload...) orders all per-slot data by
+    (tile, depth) in a single pass — no post-sort gathers.
+
+4.  Tile ranges by `searchsorted`; the kernels then read the sorted stream
+    directly at 128-ALIGNED blocks. A block straddling a tile boundary is
+    visited once per tile with an in-kernel [lo, hi) lane mask — no padded
+    copy of the stream is ever materialized.
+
+5.  Forward kernel: per chunk, the sequential per-pixel transmittance
+    recurrence closes into matmuls on the MXU:
+      lf = log1p(-alpha)                  [P, K]
+      S_exc = lf @ U (strictly upper-tri) -> exclusive cumsum along K
+      T_exc = T_carry * exp(S_exc)
+      acc  += (alpha * T_exc) @ colors^T
+    The CUDA early-break (T <= 1e-4) is reproduced exactly; the break index
+    i_stop (a global sorted position) is recorded per pixel for the backward.
+
+6.  Backward kernel: reverse chunk walk, transmittance rebuilt back-to-front;
+    per-slot gradients (incl. |d means2d| for AbsGS) written to the sorted
+    layout (revisited boundary blocks accumulate read-modify-write).
+
+7.  Reduction: `lax.sort` keyed on the carried gid groups each gaussian's
+    slot gradients contiguously; the REDUCE kernel closes each group with a
+    windowed one-hot matmul + a straddler carry (sequential TPU grid), and
+    writes finished rows with the fixed-width overwrite trick.
 """
 from __future__ import annotations
 
@@ -48,26 +74,27 @@ from .projection import Projections, tile_rect
 from .rasterize_reference import (ALPHA_THRESHOLD, MAX_ALPHA,
                                   MIN_TRANSMITTANCE)
 
-BIG_I32 = 2 ** 30  # python int: jnp constants would be captured as tracers
+BIG_I32 = 2 ** 30          # python int: jnp constants would become tracers
+BIG_F32 = float(2 ** 30)
+EXPAND_BLOCK = 512         # slots per expand/reduce grid step
+WINDOW = 2 * EXPAND_BLOCK  # aligned gaussian-table window (>= BLOCK+1 + 511)
+RED_W = 5 * 128            # reduce-kernel gaussian window (>= BLOCK+1)
+TABLE_D = 16               # per-gaussian table lanes (11 + C, C <= 5)
+STREAM_BLOCK = 1024        # slots per fwd/bwd grid step (8 inner sub-chunks);
+                           # amortizes per-grid-step DMA/launch overhead
 
 
 class PaddedIsects(NamedTuple):
-    padded_ids: jnp.ndarray      # [capacity_padded] int32, dummy = n_gauss
-    tile_of_chunk: jnp.ndarray   # [G] int32 (safe: trailing repeat last)
-    first_flag: jnp.ndarray      # [G] int32 1/0
-    last_flag: jnp.ndarray       # [G] int32 1/0
-    valid_flag: jnp.ndarray      # [G] int32 1/0
-    chunk_in_tile: jnp.ndarray   # [G] int32
-    tile_counts: jnp.ndarray     # [n_tiles] int32 (unpadded)
-    n_isects: jnp.ndarray        # scalar
-    n_dropped: jnp.ndarray       # scalar
-    # backward-reduction precompute: the per-gaussian gradient reduction
-    # gathers slot grads back into expansion order (contiguous per gaussian)
-    # and closes segments with one cumsum — no sort/scatter in the backward
-    q_of_s: jnp.ndarray          # [capacity] expansion slot -> padded slot
-    #                              (== capacity_padded for truncated slots)
-    seg_starts: jnp.ndarray      # [N] first expansion slot of gaussian
-    seg_ends: jnp.ndarray        # [N] one-past-last (clipped to capacity)
+    """[N]-sized expansion precompute (no per-slot arrays)."""
+
+    offsets: jnp.ndarray        # [N] i32 exclusive cumsum of max(num_hit, 1)
+    rect_minx: jnp.ndarray      # [N] i32
+    rect_miny: jnp.ndarray      # [N] i32
+    rect_w_signed: jnp.ndarray  # [N] i32 (-1 marks a culled gaussian)
+    depths: jnp.ndarray         # [N] f32 (stop-grad; sort key only)
+    n_isects: jnp.ndarray       # scalar i32 (real intersections, capped)
+    n_dropped: jnp.ndarray      # scalar i32 (slots beyond capacity)
+    total_padded: jnp.ndarray   # scalar i32 (expansion slots incl. dummies)
 
 
 def isect_encode_padded(
@@ -76,78 +103,109 @@ def isect_encode_padded(
     img_width: int,
     tile_size: int,
     capacity: int,
-    chunk: int,
+    chunk: int = 128,
     opacities=None,
     tile_based_culling: bool = False,
 ) -> PaddedIsects:
-    """With `tile_based_culling` (StopThePop, reference
-    gsplat_v1_renderer.py:35 `isect_tiles_tile_based_culling`), an
-    intersection is dropped when the gaussian's peak alpha inside the tile
-    (evaluated at the tile's closest point to the mean) is below 1/255 —
-    same image, fewer chunks."""
+    """[N]-sized precompute. `opacities`/`tile_based_culling` are accepted
+    for API compatibility; the peak-alpha culling itself now runs inside the
+    expand kernel (pass `tile_based_culling=True` to `rasterize_pallas`)."""
+    del chunk, opacities, tile_based_culling
     tiles_x = -(-img_width // tile_size)
     tiles_y = -(-img_height // tile_size)
-    n_tiles = tiles_x * tiles_y
-    G = capacity // chunk + n_tiles          # static chunk-slot bound
-    capacity_padded = G * chunk
 
     rect_min, rect_max = tile_rect(projections, tile_size, tiles_x, tiles_y)
     rect_w = rect_max[:, 0] - rect_min[:, 0]
     rect_h = rect_max[:, 1] - rect_min[:, 1]
     num_hit = (rect_w * rect_h).astype(jnp.int32)
-    n_gauss = num_hit.shape[0]
-
-    cum = jnp.cumsum(num_hit)
+    # every gaussian gets >= 1 slot (culled ones get one INVALID dummy): this
+    # bounds every window of B consecutive slots to <= B+1 CONSECUTIVE
+    # gaussians, the invariant behind the windowed expand/reduce kernels
+    num_pad = jnp.maximum(num_hit, 1)
+    cum = jnp.cumsum(num_pad)
     total = cum[-1]
-    offsets = cum - num_hit
+    offsets = cum - num_pad
 
-    # slot -> gaussian assignment. A searchsorted with `capacity` queries is
-    # a 20-round binary-search gather (~100x slower than everything else);
-    # instead scatter each gaussian's id at its start offset and cummax.
-    # Empty gaussians scatter value 0 (a no-op for the max against the
-    # zero-filled buffer) so the scatter indices stay SORTED — a sorted
-    # scatter avoids XLA's serializing scatter path on TPU (~10x).
-    slots = jnp.arange(capacity, dtype=jnp.int32)
-    gidx = jnp.arange(n_gauss, dtype=jnp.int32)
-    start_marks = jnp.zeros((capacity,), jnp.int32).at[
-        jnp.minimum(offsets, capacity)].max(
-        jnp.where(num_hit > 0, gidx + 1, 0), mode="drop",
-        indices_are_sorted=True)
-    cm_marks = jax.lax.cummax(start_marks)
-    g_safe = jnp.maximum(cm_marks - 1, 0)
-    valid = (slots < jnp.minimum(total, capacity)) & (cm_marks > 0)
+    total_real = jnp.sum(num_hit)
+    return PaddedIsects(
+        offsets=offsets.astype(jnp.int32),
+        rect_minx=rect_min[:, 0].astype(jnp.int32),
+        rect_miny=rect_min[:, 1].astype(jnp.int32),
+        rect_w_signed=jnp.where(num_hit > 0, jnp.maximum(rect_w, 1),
+                                -1).astype(jnp.int32),
+        depths=jax.lax.stop_gradient(
+            projections.depths.astype(jnp.float32)),
+        n_isects=jnp.minimum(total_real, capacity).astype(jnp.int32),
+        n_dropped=jnp.maximum(total - capacity, 0).astype(jnp.int32),
+        total_padded=total.astype(jnp.int32),
+    )
 
-    # one batched gather for all per-gaussian fields (ints bitcast to f32)
-    rows = [
-        lax.bitcast_convert_type(offsets, jnp.float32),
-        lax.bitcast_convert_type(rect_min[:, 0], jnp.float32),
-        lax.bitcast_convert_type(rect_min[:, 1], jnp.float32),
-        lax.bitcast_convert_type(jnp.maximum(rect_w, 1), jnp.float32),
-        projections.depths.astype(jnp.float32),
-    ]
-    if tile_based_culling:
-        rows += [projections.means2d[:, 0], projections.means2d[:, 1],
-                 projections.conics[:, 0], projections.conics[:, 1],
-                 projections.conics[:, 2],
-                 opacities.astype(jnp.float32)]
-    packed = jnp.stack(rows, axis=0)                 # [5(+6), N]
-    got = jnp.take(packed, g_safe, axis=1)           # [., capacity]
-    off_s = lax.bitcast_convert_type(got[0], jnp.int32)
-    rminx = lax.bitcast_convert_type(got[1], jnp.int32)
-    rminy = lax.bitcast_convert_type(got[2], jnp.int32)
-    w_s = lax.bitcast_convert_type(got[3], jnp.int32)
-    depth_s = got[4]
 
-    local = slots - off_s
-    t_y = rminy + local // w_s
-    t_x = rminx + local % w_s
+# ---------------------------------------------------------------------------
+# expand kernel: per-gaussian table windows -> per-slot key + payload rows
+# ---------------------------------------------------------------------------
+
+def _expand_kernel(
+    glo_ref,                    # scalar prefetch: aligned window block index
+    tot_ref,                    # scalar prefetch: [1] total expansion slots
+    win0_ref, win1_ref,         # two aligned [EXPAND_BLOCK, TABLE_D] windows
+    out_ref,                    # [TABLE_D, EXPAND_BLOCK]
+    *, n_channels: int, tile_size: int, tiles_x: int, tiles_y: int,
+    depth_bits: int, tile_based_culling: bool,
+):
+    b = pl.program_id(0)
+    B = EXPAND_BLOCK
+    base_g = glo_ref[b] * B     # first gaussian row of win0
+
+    s = (b * B + lax.broadcasted_iota(jnp.int32, (1, B), 1)).astype(
+        jnp.float32)                                   # [1, B] slot ids
+
+    # g_local(s) = #(offsets <= s) - 1 over the 1024-row window
+    offs0 = win0_ref[:, 0:1]                           # [B, 1]
+    offs1 = win1_ref[:, 0:1]
+    cnt = (jnp.sum((offs0 <= s).astype(jnp.float32), axis=0, keepdims=True)
+           + jnp.sum((offs1 <= s).astype(jnp.float32), axis=0,
+                     keepdims=True))                   # [1, B]
+    g_local = cnt - 1.0                                # float row index
+
+    # one-hot gather of the table row, computed in transposed orientation
+    # (fields on sublanes, slots on lanes — same layout as the output).
+    # EXACT under precision=HIGHEST.
+    g_local_i = g_local.astype(jnp.int32)
+    widx = lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    oh0 = (widx == g_local_i).astype(jnp.float32)      # [W0, B]
+    oh1 = (widx == (g_local_i - B)).astype(jnp.float32)
+    rowT = (lax.dot_general(win0_ref[...], oh0, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
+            + lax.dot_general(win1_ref[...], oh1, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=lax.Precision.HIGHEST)
+            )                                          # [TABLE_D, B]
+
+    offs = rowT[0:1, :]                                # [1, B]
+    rminx = rowT[1:2, :].astype(jnp.int32)
+    rminy = rowT[2:3, :].astype(jnp.int32)
+    w_signed = rowT[3:4, :].astype(jnp.int32)
+    depth = rowT[4:5, :]
+
+    local = (s - offs).astype(jnp.int32)               # [1, B]
+    w_use = jnp.maximum(w_signed, 1)
+    t_y = jnp.minimum(rminy + local // w_use, tiles_y - 1)
+    t_x = rminx + local % w_use
+    tile = (t_y * tiles_x + t_x).astype(jnp.uint32)
+
+    dbits = lax.bitcast_convert_type(jnp.maximum(depth, 0.0), jnp.uint32)
+    key = (tile << depth_bits) | (dbits >> (32 - depth_bits))
+    # invalid: culled gaussian's dummy slot, or slot past the expansion total
+    invalid = (w_signed < 0) | (s.astype(jnp.int32) >= tot_ref[0])
 
     if tile_based_culling:
         # exact max alpha over the tile: min of the conic quadratic over the
-        # tile box — 0 if the mean is inside, else the min over the four
-        # edges (per-edge closed-form argmin of the 1-D quadratic)
-        mx, my = got[5], got[6]
-        ca, cb, cc, op = got[7], got[8], got[9], got[10]
+        # tile box (0 if the mean is inside, else min over the four edges)
+        mx, my = rowT[5:6, :], rowT[6:7, :]
+        ca, cb = rowT[7:8, :], rowT[8:9, :]
+        cc, op = rowT[9:10, :], rowT[10:11, :]
         ts_f = jnp.float32(tile_size)
         xlo = t_x.astype(jnp.float32) * ts_f - mx
         xhi = xlo + ts_f
@@ -157,7 +215,7 @@ def isect_encode_padded(
         def sig(dx, dy):
             return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
 
-        def edge_x(dx):      # fixed dx, optimize dy
+        def edge_x(dx):
             dy = jnp.clip(-cb * dx / jnp.maximum(cc, 1e-12), ylo, yhi)
             return sig(dx, dy)
 
@@ -171,145 +229,156 @@ def isect_encode_padded(
         inside = (xlo <= 0) & (xhi >= 0) & (ylo <= 0) & (yhi >= 0)
         sigma_min = jnp.where(inside, 0.0, jnp.maximum(sigma_min, 0.0))
         peak = op * jnp.exp(-sigma_min)
-        valid = valid & (peak >= 1.0 / 255.0)
+        invalid = invalid | (peak < 1.0 / 255.0)
 
-    tile_ids = jnp.where(valid, t_y * tiles_x + t_x, n_tiles).astype(jnp.int32)
-    depths = jnp.where(valid, depth_s, jnp.inf)
-    gauss_ids = jnp.where(valid, g_safe, n_gauss).astype(jnp.int32)
+    key = jnp.where(invalid, jnp.uint32(0xFFFFFFFF), key)
+    gid = jnp.float32(base_g) + g_local                 # float gaussian id
 
-    # single packed sort key: [tile | float-depth bits] — one uint32
-    # comparison instead of a 2-key lexicographic sort (XLA's TPU sort is the
-    # dominant cost of binning; the key trick halves operands and compares).
-    # Positive-float IEEE bits are monotone, so the top (32 - tile_bits)
-    # bits of the depth order correctly; ties within ~10-bit mantissa
-    # granularity fall back to (stable) gaussian order.
-    tile_bits = max(int(np.ceil(np.log2(n_tiles + 1))), 1)
-    depth_bits = 32 - tile_bits
-    dbits = lax.bitcast_convert_type(
-        jnp.maximum(depths.astype(jnp.float32), 0.0), jnp.uint32)
-    key = ((tile_ids.astype(jnp.uint32) << depth_bits)
-           | (dbits >> tile_bits))
-    # `order` (expansion slot per sorted position) feeds the backward's
-    # gradient reduction: it lets the bwd map slot grads back to the
-    # contiguous per-gaussian expansion layout with plain gathers
-    sorted_keys, sorted_gauss, order = lax.sort(
-        (key, gauss_ids, slots), num_keys=1)
-    sorted_tiles = (sorted_keys >> depth_bits).astype(jnp.int32)
+    # per-row writes (Mosaic-friendly; no sublane concat/transpose)
+    pad_rows = TABLE_D - (8 + n_channels)
+    out_ref[0:1, :] = lax.bitcast_convert_type(key, jnp.float32)
+    out_ref[1:2, :] = gid
+    out_ref[2:8 + n_channels, :] = rowT[5:11 + n_channels, :]  # mx my a b c op ch..
+    if pad_rows:
+        out_ref[8 + n_channels:, :] = jnp.zeros((pad_rows, B), jnp.float32)
 
-    tile_range = jnp.arange(n_tiles, dtype=jnp.uint32) << depth_bits
-    tile_starts = jnp.searchsorted(sorted_keys, tile_range,
-                                   side="left").astype(jnp.int32)
-    tile_ends = jnp.searchsorted(
-        sorted_keys, jnp.arange(1, n_tiles + 1,
-                                dtype=jnp.uint32) << depth_bits,
-        side="left").astype(jnp.int32)
+
+def _expand_sorted(means2d, conics, opacities, channels, isects,
+                   capacity, tile_size, tiles_x, tiles_y, depth_bits,
+                   tile_based_culling, interpret):
+    """Build the per-gaussian table, expand to per-slot rows, sort by
+    (tile | depth). Returns sorted (keys u32, gid f32, geom [6, cap],
+    color [C, cap])."""
+    n, c = channels.shape
+    B = EXPAND_BLOCK
+    assert capacity % B == 0, "isect capacity must be a multiple of 512"
+    assert c <= TABLE_D - 11, f"at most {TABLE_D - 11} channels supported"
+
+    cols = [isects.offsets.astype(jnp.float32),
+            isects.rect_minx.astype(jnp.float32),
+            isects.rect_miny.astype(jnp.float32),
+            isects.rect_w_signed.astype(jnp.float32),
+            isects.depths,
+            means2d[:, 0], means2d[:, 1],
+            conics[:, 0], conics[:, 1], conics[:, 2],
+            opacities] + [channels[:, i] for i in range(c)]
+    cols += [jnp.zeros((n,), jnp.float32)] * (TABLE_D - len(cols))
+    table = jnp.stack(cols, axis=1)                    # [N, TABLE_D]
+    # pad rows so any aligned window fits; padding offsets = +inf so the
+    # g_local count never selects them
+    pad = jnp.zeros((WINDOW + B, TABLE_D), jnp.float32)
+    pad = pad.at[:, 0].set(BIG_F32).at[:, 3].set(-1.0)
+    table = jnp.concatenate([table, pad], axis=0)
+
+    n_blocks = capacity // B
+    starts = jnp.arange(n_blocks, dtype=jnp.int32) * B
+    g_lo = jnp.clip(
+        jnp.searchsorted(isects.offsets, starts, side="right") - 1, 0, n)
+    glo_blk = g_lo // B                                # aligned window index
+    total = jnp.minimum(isects.total_padded, capacity)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((B, TABLE_D), lambda k, g, t: (g[k], 0)),
+            pl.BlockSpec((B, TABLE_D), lambda k, g, t: (g[k] + 1, 0)),
+        ],
+        out_specs=pl.BlockSpec((TABLE_D, B), lambda k, g, t: (0, k)),
+    )
+    rows = pl.pallas_call(
+        functools.partial(
+            _expand_kernel, n_channels=c, tile_size=tile_size,
+            tiles_x=tiles_x, tiles_y=tiles_y, depth_bits=depth_bits,
+            tile_based_culling=tile_based_culling),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((TABLE_D, capacity), jnp.float32),
+        interpret=interpret,
+    )(glo_blk, total[None].astype(jnp.int32), table, table)
+
+    key = lax.bitcast_convert_type(rows[0], jnp.uint32)
+    sorted_ops = lax.sort((key,) + tuple(rows[1:8 + c]), num_keys=1,
+                          is_stable=True)
+    sorted_keys = sorted_ops[0]
+    gid_sorted = sorted_ops[1]
+    zrow = jnp.zeros((2, capacity), jnp.float32)
+    geom_s = jnp.concatenate(
+        [jnp.stack(sorted_ops[2:8], axis=0), zrow], axis=0)  # [8, cap]
+    color_s = jnp.stack(sorted_ops[8:], axis=0)        # [C, cap]
+    return sorted_keys, gid_sorted, geom_s, color_s
+
+
+# ---------------------------------------------------------------------------
+# chunk schedule over the SORTED stream (aligned blocks, [G]-sized XLA)
+# ---------------------------------------------------------------------------
+
+class ChunkSchedule(NamedTuple):
+    blk: jnp.ndarray            # [G] i32 aligned block index into the stream
+    tile_of_chunk: jnp.ndarray  # [G] i32 (trailing: repeat last real tile)
+    flags: jnp.ndarray          # [G] i32 packed (see _pack_flags)
+    tile_counts: jnp.ndarray    # [n_tiles] i32
+
+
+def _build_schedule(sorted_keys, n_tiles, depth_bits, capacity, sb):
+    """One entry per (tile, STREAM_BLOCK) pair; `sb`-local [lo, hi) packed in
+    the flags (11 bits each)."""
+    G = capacity // sb + n_tiles
+    tile_range = jnp.arange(n_tiles + 1, dtype=jnp.uint32) << depth_bits
+    bounds = jnp.searchsorted(sorted_keys, tile_range,
+                              side="left").astype(jnp.int32)
+    tile_starts, tile_ends = bounds[:-1], bounds[1:]
     counts = tile_ends - tile_starts
 
-    # --- padded layout ---
-    chunks_per_tile = -(-counts // chunk)            # ceil
-    padded_counts = chunks_per_tile * chunk
-    cum_padded = jnp.cumsum(padded_counts)
-    padded_starts = cum_padded - padded_counts
+    first_blk = tile_starts // sb
+    nblocks_t = jnp.where(counts > 0,
+                          (tile_ends - 1) // sb - first_blk + 1, 0)
+    cum_chunks = jnp.cumsum(nblocks_t)
+    n_real = cum_chunks[-1]
 
-    # padded layout built by GATHER (an 8M-row scatter measures ~3x slower
-    # than gather on TPU): for each padded slot q, its tile comes from a
-    # cummax over small scattered tile marks, and its source sorted index is
-    # tile_starts[tile] + (q - padded_starts[tile]).
-    q = jnp.arange(capacity_padded, dtype=jnp.int32)
-    tmark = jnp.zeros((capacity_padded,), jnp.int32).at[
-        jnp.minimum(padded_starts, capacity_padded)].max(
-        jnp.where(padded_counts > 0,
+    # chunk -> tile fill-forward (G-sized scatter+cummax: trivially small)
+    k = jnp.arange(G, dtype=jnp.int32)
+    chunk_starts = cum_chunks - nblocks_t
+    marks = jnp.zeros((G,), jnp.int32).at[
+        jnp.minimum(chunk_starts, G)].max(
+        jnp.where(nblocks_t > 0,
                   jnp.arange(n_tiles, dtype=jnp.int32) + 1, 0),
         mode="drop", indices_are_sorted=True)
-    tile_of_q = jax.lax.cummax(tmark) - 1           # -1 before first tile
-    t_safe = jnp.maximum(tile_of_q, 0)
-    packed_ts = jnp.stack([tile_starts, padded_starts, counts], axis=0)
-    got_ts = jnp.take(packed_ts, t_safe, axis=1)    # [3, capacity_padded]
-    local_q = q - got_ts[1]
-    src = jnp.clip(got_ts[0] + local_q, 0, capacity - 1)
-    valid_q = (tile_of_q >= 0) & (local_q < got_ts[2])
-    padded_ids = jnp.where(valid_q, jnp.take(sorted_gauss, src, axis=0),
-                           n_gauss)
-
-    # --- backward-reduction maps (expansion slot -> padded slot) ---
-    # padded position of each SORTED position p (real entries only):
-    #   q_of_p = padded_starts[tile(p)] + (p - tile_starts[tile(p)])
-    p_iota = slots
-    t_of_p = jnp.minimum(sorted_tiles, n_tiles - 1)
-    packed_pt = jnp.stack([padded_starts, tile_starts], axis=0)
-    got_pt = jnp.take(packed_pt, t_of_p, axis=1)            # [2, capacity]
-    q_of_p = jnp.where(sorted_tiles < n_tiles,
-                       got_pt[0] + (p_iota - got_pt[1]), capacity_padded)
-    # sorted position of each EXPANSION slot: invert the sort permutation
-    # (a second sort is ~2x faster than an unsorted 4M scatter on TPU)
-    _, p_of_s = lax.sort((order, slots), num_keys=1)
-    q_of_s = jnp.take(q_of_p, p_of_s)
-    # per-gaussian expansion segments, clipped to the slot capacity
-    seg_starts = jnp.minimum(offsets, capacity)
-    seg_ends = jnp.minimum(cum, capacity)
-
-    # --- chunk schedule ---
-    cum_chunks = jnp.cumsum(chunks_per_tile)
-    n_real_chunks = cum_chunks[-1]
-    k = jnp.arange(G, dtype=jnp.int32)
-    valid_chunk = k < n_real_chunks
-    toc = jnp.searchsorted(cum_chunks, k, side="right").astype(jnp.int32)
-    toc_safe = jnp.minimum(toc, n_tiles - 1)
-    # trailing chunks: repeat the last real tile so output revisiting is safe
+    cm = jax.lax.cummax(marks)
+    valid_chunk = (k < n_real) & (cm > 0)
+    toc = jnp.maximum(cm - 1, 0)
     last_real_tile = jnp.where(
-        n_real_chunks > 0,
-        jnp.searchsorted(cum_chunks, jnp.maximum(n_real_chunks - 1, 0),
-                         side="right").astype(jnp.int32), 0)
-    tile_of_chunk = jnp.where(valid_chunk, toc_safe,
-                              jnp.minimum(last_real_tile, n_tiles - 1))
-    chunks_before = cum_chunks[tile_of_chunk] - chunks_per_tile[tile_of_chunk]
-    chunk_in_tile = jnp.where(valid_chunk, k - chunks_before, 0)
-    first_flag = (valid_chunk & (chunk_in_tile == 0)).astype(jnp.int32)
-    last_flag = (valid_chunk
-                 & (k == cum_chunks[tile_of_chunk] - 1)).astype(jnp.int32)
+        n_real > 0, jnp.maximum(jnp.max(cm) - 1, 0), 0)
+    tile_of_chunk = jnp.where(valid_chunk, toc, last_real_tile)
 
-    return PaddedIsects(
-        padded_ids=padded_ids,
-        tile_of_chunk=tile_of_chunk,
-        first_flag=first_flag,
-        last_flag=last_flag,
-        valid_flag=valid_chunk.astype(jnp.int32),
-        chunk_in_tile=chunk_in_tile.astype(jnp.int32),
-        tile_counts=counts,
-        n_isects=jnp.minimum(total, capacity),
-        n_dropped=jnp.maximum(total - capacity, 0),
-        q_of_s=q_of_s,
-        seg_starts=seg_starts,
-        seg_ends=seg_ends,
-    )
+    t = tile_of_chunk
+    k_in_tile = k - jnp.take(chunk_starts, t)
+    blk = jnp.take(first_blk, t) + jnp.where(valid_chunk, k_in_tile, 0)
+    blk = jnp.clip(blk, 0, capacity // sb - 1)
+    base = blk * sb
+    lo = jnp.clip(jnp.take(tile_starts, t) - base, 0, sb)
+    hi = jnp.clip(jnp.take(tile_ends, t) - base, 0, sb)
+    first = valid_chunk & (k_in_tile == 0)
+    last = valid_chunk & (k_in_tile == jnp.take(nblocks_t, t) - 1)
+
+    flags = (valid_chunk.astype(jnp.int32)
+             | (first.astype(jnp.int32) << 1)
+             | (last.astype(jnp.int32) << 2)
+             | (lo << 3) | (hi << 14)).astype(jnp.int32)
+    return ChunkSchedule(blk=blk.astype(jnp.int32),
+                         tile_of_chunk=tile_of_chunk.astype(jnp.int32),
+                         flags=flags, tile_counts=counts)
 
 
-def _gather_streams(means2d, conics, opacities, channels, padded_ids):
-    """Field-major payload streams with a trailing dummy zero row.
+def _unpack(fl):
+    return ((fl & 1) == 1, ((fl >> 1) & 1) == 1, ((fl >> 2) & 1) == 1,
+            (fl >> 3) & 0x7FF, (fl >> 14) & 0x7FF)
 
-    One batched take(axis=1) over all rows measures ~6x faster than
-    per-field 1-D gathers on TPU (fixed per-gather overhead dominates)."""
-    n, c = channels.shape
-    zrow = jnp.zeros((1,), means2d.dtype)
-    rows = jnp.stack([
-        jnp.concatenate([means2d[:, 0], zrow]),
-        jnp.concatenate([means2d[:, 1], zrow]),
-        jnp.concatenate([conics[:, 0], zrow]),
-        jnp.concatenate([conics[:, 1], zrow]),
-        jnp.concatenate([conics[:, 2], zrow]),
-        jnp.concatenate([opacities, zrow]),
-    ] + [jnp.concatenate([channels[:, i], zrow]) for i in range(c)],
-        axis=0)                                       # [6+c, n+1]
-    stream = jnp.take(rows, padded_ids, axis=1)       # [6+c, m]
-    m = padded_ids.shape[0]
-    pad2 = jnp.zeros((2, m), means2d.dtype)
-    geom_stream = jnp.concatenate([stream[:6], pad2], axis=0)  # [8, m]
-    color_stream = stream[6:]
-    return geom_stream, color_stream
 
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
 
 def _pixel_coords(tile, tiles_x, tile_size):
-    """Per-tile pixel centers as [P, 1] sublane vectors."""
     P = tile_size * tile_size
     p = lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     tx = tile % tiles_x
@@ -320,14 +389,14 @@ def _pixel_coords(tile, tiles_x, tile_size):
 
 
 def _alphas(geom, px, py):
-    """geom [8, K] block + pixel coords [P, 1] -> alpha, keep, sigma-aux."""
-    x = geom[0:1, :]       # [1, K] -> broadcasts over P sublanes
+    """geom [6, K] block + pixel coords [P, 1] -> alpha and aux terms."""
+    x = geom[0:1, :]
     y = geom[1:2, :]
     ca = geom[2:3, :]
     cb = geom[3:4, :]
     cc = geom[4:5, :]
     op = geom[5:6, :]
-    dx = x - px            # [P, K]
+    dx = x - px
     dy = y - py
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
     raw = op * jnp.exp(-sigma)
@@ -337,105 +406,92 @@ def _alphas(geom, px, py):
     return a, keep, raw, dx, dy, ca[0], cb[0], cc[0], op[0], sigma
 
 
-def _pack_flags(isects: "PaddedIsects") -> jnp.ndarray:
-    """[G, 1] int32: bit0 valid, bit1 first, bit2 last, bits3+ chunk_in_tile
-    — one SMEM word per grid step instead of 5 prefetched arrays (the
-    schedule arrays overflow the 1MB SMEM budget at scale otherwise)."""
-    return (isects.valid_flag | (isects.first_flag << 1)
-            | (isects.last_flag << 2)
-            | (isects.chunk_in_tile << 3)).astype(jnp.int32)
-
-
-# ---------------------------------------------------------------------------
-# forward
-# ---------------------------------------------------------------------------
-
 def _fwd_kernel(
-    # scalar prefetch: tile id per chunk (used by the index maps) + packed
-    # flags (bit0 valid, bit1 first, bit2 last, bits3+ chunk_in_tile)
-    tile_ref, flags_ref,
-    # inputs
+    blk_ref, tile_ref, flags_ref,
     geom_ref, color_ref,
-    # outputs
     out_ref, tfin_ref, istop_ref,
-    # scratch
     acc, T, istop, alldone,
-    *, tiles_x: int, tile_size: int, chunk: int, n_channels: int,
+    *, tiles_x: int, tile_size: int, sb: int, chunk: int, n_channels: int,
 ):
     k = pl.program_id(0)
     tile = tile_ref[k]
-    fl = flags_ref[k]
+    valid, first, last, lo, hi = _unpack(flags_ref[k])
     P = tile_size * tile_size
 
-    @pl.when(((fl >> 1) & 1) == 1)
+    @pl.when(first)
     def _():
         acc[...] = jnp.zeros_like(acc)
         T[...] = jnp.ones_like(T)
         istop[...] = jnp.full_like(istop, BIG_I32)
         alldone[0] = 0
 
-    # early exit: once every pixel broke (T <= 1e-4), remaining chunks of
-    # the tile are no-ops (the CUDA kernel's per-pixel `done` break)
-    @pl.when(((fl & 1) == 1) & (alldone[0] == 0))
+    @pl.when(valid & (alldone[0] == 0))
     def _():
         px, py = _pixel_coords(tile, tiles_x, tile_size)
-        a, *_ = _alphas(geom_ref[...], px, py)
-
-        base = (fl >> 3) * chunk
-        idx = base + lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
-        not_done = idx < istop[...]
-        a = jnp.where(not_done, a, 0.0)
-
-        lf = jnp.log1p(-a)
-        # exclusive cumsum along K via strictly-lower-triangular matmul:
-        # S_exc[p, j] = sum_{i<j} lf[p, i]
+        base0 = blk_ref[k] * sb
         tri = (lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
                < lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1))
-        S_exc = jnp.dot(lf, tri.astype(lf.dtype),
-                        preferred_element_type=jnp.float32,
-                        precision=lax.Precision.HIGHEST)
-        T_exc = T[...] * jnp.exp(S_exc)
-        T_inc = T_exc * (1.0 - a)
+        lane = lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
+        # inner walk over sub-chunks of the stream block (unrolled; the
+        # grid step count — and its DMA/launch overhead — is amortized 8x).
+        # Each sub-chunk is predicated on overlapping the tile's [lo, hi)
+        # range so a tile only pays for ceil(count/chunk) sub-chunks.
+        for j in range(sb // chunk):
+            @pl.when((j * chunk < hi) & ((j + 1) * chunk > lo))
+            def _(j=j):
+                sl = slice(j * chunk, (j + 1) * chunk)
+                a, *_ = _alphas(geom_ref[:, sl], px, py)
+                idx = base0 + j * chunk + lane
+                lane_sb = j * chunk + lane
+                in_rng = ((lane_sb >= lo) & (lane_sb < hi)
+                          & (idx < istop[...]))
+                a = jnp.where(in_rng, a, 0.0)
 
-        comp = (T_inc > MIN_TRANSMITTANCE) & (a > 0.0)
-        w = jnp.where(comp, a * T_exc, 0.0)
-        acc[...] += jnp.dot(w, color_ref[...].T,
-                            preferred_element_type=jnp.float32,
-                            precision=lax.Precision.HIGHEST)
-        lf_eff = jnp.where(comp, lf, 0.0)
-        T[...] = T[...] * jnp.exp(jnp.sum(lf_eff, axis=1, keepdims=True))
-        brk = (T_inc <= MIN_TRANSMITTANCE) & (a > 0.0)
-        first_brk = jnp.min(jnp.where(brk, idx, BIG_I32), axis=1,
-                            keepdims=True)
-        istop[...] = jnp.minimum(istop[...], first_brk)
+                lf = jnp.log1p(-a)
+                S_exc = jnp.dot(lf, tri.astype(lf.dtype),
+                                preferred_element_type=jnp.float32,
+                                precision=lax.Precision.HIGHEST)
+                T_exc = T[...] * jnp.exp(S_exc)
+                T_inc = T_exc * (1.0 - a)
+
+                comp = (T_inc > MIN_TRANSMITTANCE) & (a > 0.0)
+                w = jnp.where(comp, a * T_exc, 0.0)
+                acc[...] += jnp.dot(w, color_ref[:, sl].T,
+                                    preferred_element_type=jnp.float32,
+                                    precision=lax.Precision.HIGHEST)
+                lf_eff = jnp.where(comp, lf, 0.0)
+                T[...] = T[...] * jnp.exp(
+                    jnp.sum(lf_eff, axis=1, keepdims=True))
+                brk = (T_inc <= MIN_TRANSMITTANCE) & (a > 0.0)
+                first_brk = jnp.min(jnp.where(brk, idx, BIG_I32), axis=1,
+                                    keepdims=True)
+                istop[...] = jnp.minimum(istop[...], first_brk)
         alldone[0] = jnp.all(istop[...] < BIG_I32).astype(jnp.int32)
 
-    @pl.when(((fl >> 2) & 1) == 1)
+    @pl.when(last)
     def _():
         out_ref[0] = acc[...]
         tfin_ref[0, 0] = T[...][:, 0]
         istop_ref[0, 0] = istop[...][:, 0]
 
 
-def _rasterize_fwd_raw(geom_stream, color_stream, isects: PaddedIsects,
-                       n_tiles: int, tiles_x: int, tile_size: int,
-                       chunk: int, interpret: bool):
-    C = color_stream.shape[0]
-    G = isects.tile_of_chunk.shape[0]
+def _rasterize_fwd_raw(geom_s, color_s, sched: ChunkSchedule,
+                       n_tiles, tiles_x, tile_size, sb, chunk, interpret):
+    C = color_s.shape[0]
+    G = sched.blk.shape[0]
     P = tile_size * tile_size
 
-    flags = _pack_flags(isects)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((8, chunk), lambda k, t, f: (0, k)),
-            pl.BlockSpec((C, chunk), lambda k, t, f: (0, k)),
+            pl.BlockSpec((8, sb), lambda k, b, t, f: (0, b[k])),
+            pl.BlockSpec((C, sb), lambda k, b, t, f: (0, b[k])),
         ],
         out_specs=[
-            pl.BlockSpec((1, P, C), lambda k, t, f: (t[k], 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda k, t, f: (t[k], 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda k, t, f: (t[k], 0, 0)),
+            pl.BlockSpec((1, P, C), lambda k, b, t, f: (t[k], 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda k, b, t, f: (t[k], 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda k, b, t, f: (t[k], 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((P, C), jnp.float32),
@@ -446,7 +502,7 @@ def _rasterize_fwd_raw(geom_stream, color_stream, isects: PaddedIsects,
     )
     out, tfin, istop = pl.pallas_call(
         functools.partial(_fwd_kernel, tiles_x=tiles_x, tile_size=tile_size,
-                          chunk=chunk, n_channels=C),
+                          sb=sb, chunk=chunk, n_channels=C),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, P, C), jnp.float32),
@@ -454,145 +510,171 @@ def _rasterize_fwd_raw(geom_stream, color_stream, isects: PaddedIsects,
             jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.int32),
         ],
         interpret=interpret,
-    )(isects.tile_of_chunk, flags, geom_stream, color_stream)
+    )(sched.blk, sched.tile_of_chunk, sched.flags, geom_s, color_s)
     return out, tfin, istop
 
 
 # ---------------------------------------------------------------------------
-# backward
+# backward kernel
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(
-    # scalar prefetch: tile ids + packed flags (forward order); this kernel
-    # walks the grid reversed, position = G-1-k
-    tile_ref, flags_ref,
-    # inputs
+    blk_ref, tile_ref, flags_ref, rvflag_ref,
     geom_ref, color_ref, gout_ref, galpha_ref, tfin_ref, istop_ref,
-    # outputs
     dgeom_ref, dcolor_ref,
-    # scratch
     T_run, Sg, max_istop,
-    *, tiles_x: int, tile_size: int, chunk: int, n_channels: int,
-    bg_dot_g_on: bool,
+    *, tiles_x: int, tile_size: int, sb: int, chunk: int, n_channels: int,
 ):
     k = pl.program_id(0)
     pos = pl.num_programs(0) - 1 - k
     tile = tile_ref[pos]
-    fl = flags_ref[pos]
+    valid, first, last, lo, hi = _unpack(flags_ref[pos])
+    # rvflag: 1 when this is the FIRST walk visit of a block that will be
+    # revisited by the next step (tile boundary) -> later visit must merge
+    fresh = rvflag_ref[pos] == 0
     P = tile_size * tile_size
 
-    # init per-tile carries on the tile's LAST forward chunk (first seen in
-    # the reverse walk)
-    @pl.when(((fl >> 2) & 1) == 1)
+    @pl.when(last)
     def _():
-        tf = tfin_ref[0, 0][:, None]                  # [P, 1]
+        tf = tfin_ref[0, 0][:, None]
         galpha = galpha_ref[0, 0][:, None]
-        # Sg_init = T_final * (bg.g - galpha); bg term folded outside via
-        # galpha' (see wrapper), so here: Sg = -T_final * galpha'
         Sg[...] = -tf * galpha
         T_run[...] = tf
         max_istop[0] = jnp.max(
             jnp.minimum(istop_ref[0, 0], BIG_I32 - 1)) + 1
 
-    # chunks whose whole index range lies past every pixel's break point
-    # contribute zero gradient; write zeros and skip the math
-    active = ((fl & 1) == 1) & ((fl >> 3) * chunk < max_istop[0])
+    base0 = blk_ref[pos] * sb
+    active = valid & (base0 < max_istop[0])
+
+    dgeom_prev = dgeom_ref[...]
+    dcolor_prev = dcolor_ref[...]
 
     @pl.when(active)
     def _():
         px, py = _pixel_coords(tile, tiles_x, tile_size)
-        geom = geom_ref[...]
-        a, keep, raw, dx, dy, ca, cb, cc, op, sigma = _alphas(geom, px, py)
-
-        base = (fl >> 3) * chunk
-        idx = base + lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
-        comp = keep & (idx < istop_ref[0, 0][:, None])
-        a = jnp.where(comp, a, 0.0)
-        lf = jnp.log1p(-a)
-
-        # inclusive suffix sum along K: S_inc[p, i] = sum_{j>=i} lf[p, j]
+        g = gout_ref[0]                               # [P, C]
+        lane = lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
+        lane1 = lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         tri_ge = (lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
                   >= lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1))
-        S_inc = jnp.dot(lf, tri_ge.astype(lf.dtype),
-                        preferred_element_type=jnp.float32)
-        T_exc = T_run[...] * jnp.exp(-S_inc)          # T before gaussian i
-
-        g = gout_ref[0]                               # [P, C]
-        colors = color_ref[...]                       # [C, K]
-        cg = jnp.dot(g, colors, preferred_element_type=jnp.float32)
-
-        q = a * T_exc * cg                            # [P, K] (comp-masked)
         tri_gt = (lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
                   > lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1))
-        Sq_strict = jnp.dot(q, tri_gt.astype(q.dtype),
-                            preferred_element_type=jnp.float32)
-        Sg_i = Sg[...] + Sq_strict
+        istop_col = istop_ref[0, 0][:, None]
 
-        one_minus = jnp.maximum(1.0 - a, 1e-3)
-        dalpha = jnp.where(comp, T_exc * cg - Sg_i / one_minus, 0.0)
+        # reverse inner walk over the sub-chunks of the stream block; each
+        # sub-chunk predicated on overlapping [lo, hi) — skipped ones only
+        # need their output region initialized on a fresh block visit
+        for j in reversed(range(sb // chunk)):
+            sl = slice(j * chunk, (j + 1) * chunk)
+            touches = (j * chunk < hi) & ((j + 1) * chunk > lo)
 
-        w = a * T_exc                                 # comp-masked via a
-        # color grads [C, K] = g^T @ w (contract over pixels)
-        dcolor_ref[...] = lax.dot_general(
-            g, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            @pl.when(touches)
+            def _(j=j, sl=sl):
+                a, keep, raw, dx, dy, ca, cb, cc, op, sigma = _alphas(
+                    geom_ref[:, sl], px, py)
+                lane_sb = j * chunk + lane
+                idx = base0 + lane_sb
+                in_rng = (lane_sb >= lo) & (lane_sb < hi)
+                comp = keep & in_rng & (idx < istop_col)
+                a = jnp.where(comp, a, 0.0)
+                lf = jnp.log1p(-a)
 
-        not_clamped = raw < MAX_ALPHA
-        dsigma = jnp.where(not_clamped, -a * dalpha, 0.0)
-        dop = jnp.where(not_clamped & comp, dalpha * jnp.exp(-sigma), 0.0)
+                S_inc = jnp.dot(lf, tri_ge.astype(lf.dtype),
+                                preferred_element_type=jnp.float32)
+                T_exc = T_run[...] * jnp.exp(-S_inc)
 
-        ddx = dsigma * (ca * dx + cb * dy)
-        ddy = dsigma * (cc * dy + cb * dx)
+                colors = color_ref[:, sl]             # [C, K]
+                cg = jnp.dot(g, colors, preferred_element_type=jnp.float32)
 
-        zero = jnp.zeros((1, chunk), jnp.float32)
-        dgeom_ref[...] = jnp.concatenate([
-            jnp.sum(ddx, axis=0, keepdims=True),
-            jnp.sum(ddy, axis=0, keepdims=True),
-            jnp.sum(dsigma * 0.5 * dx * dx, axis=0, keepdims=True),
-            jnp.sum(dsigma * dx * dy, axis=0, keepdims=True),
-            jnp.sum(dsigma * 0.5 * dy * dy, axis=0, keepdims=True),
-            jnp.sum(dop, axis=0, keepdims=True),
-            zero, zero,
-        ], axis=0)
+                q = a * T_exc * cg
+                Sq_strict = jnp.dot(q, tri_gt.astype(q.dtype),
+                                    preferred_element_type=jnp.float32)
+                Sg_i = Sg[...] + Sq_strict
 
-        # update carries (walking toward the front)
-        T_run[...] = T_run[...] * jnp.exp(
-            -jnp.sum(lf, axis=1, keepdims=True))
-        Sg[...] = Sg[...] + jnp.sum(q, axis=1, keepdims=True)
+                one_minus = jnp.maximum(1.0 - a, 1e-3)
+                dalpha = jnp.where(comp, T_exc * cg - Sg_i / one_minus, 0.0)
 
-    @pl.when(jnp.logical_not(active))
+                w = a * T_exc
+                dcol = lax.dot_general(
+                    g, w, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [C, K]
+
+                not_clamped = raw < MAX_ALPHA
+                dsigma = jnp.where(not_clamped, -a * dalpha, 0.0)
+                dop = jnp.where(not_clamped & comp,
+                                dalpha * jnp.exp(-sigma), 0.0)
+
+                ddx = dsigma * (ca * dx + cb * dy)
+                ddy = dsigma * (cc * dy + cb * dx)
+                dmx = jnp.sum(ddx, axis=0, keepdims=True)
+                dmy = jnp.sum(ddy, axis=0, keepdims=True)
+
+                # |dmx|/|dmy| (AbsGS) are per-(tile,gaussian) = per-slot:
+                # they are recovered as abs of these rows post-sort
+                dg_new = jnp.concatenate([
+                    dmx, dmy,
+                    jnp.sum(dsigma * 0.5 * dx * dx, axis=0, keepdims=True),
+                    jnp.sum(dsigma * dx * dy, axis=0, keepdims=True),
+                    jnp.sum(dsigma * 0.5 * dy * dy, axis=0, keepdims=True),
+                    jnp.sum(dop, axis=0, keepdims=True),
+                ], axis=0)                             # [6, K]
+
+                lane1_sb = j * chunk + lane1
+                in1 = (lane1_sb >= lo) & (lane1_sb < hi)
+                dgeom_ref[:, sl] = jnp.where(
+                    in1, dg_new, jnp.where(fresh, 0.0, dgeom_prev[:, sl]))
+                dcolor_ref[:, sl] = jnp.where(
+                    in1, dcol, jnp.where(fresh, 0.0, dcolor_prev[:, sl]))
+
+                T_run[...] = T_run[...] * jnp.exp(
+                    -jnp.sum(lf, axis=1, keepdims=True))
+                Sg[...] = Sg[...] + jnp.sum(q, axis=1, keepdims=True)
+
+            @pl.when(jnp.logical_not(touches) & fresh)
+            def _(sl=sl):
+                dgeom_ref[:, sl] = jnp.zeros((6, chunk), jnp.float32)
+                dcolor_ref[:, sl] = jnp.zeros(
+                    (n_channels, chunk), jnp.float32)
+
+    # inactive fresh block: initialize outputs; inactive revisit: the block
+    # buffer already holds the previous visit's content — leave it
+    @pl.when(jnp.logical_not(active) & fresh)
     def _():
-        dgeom_ref[...] = jnp.zeros_like(dgeom_ref)
-        dcolor_ref[...] = jnp.zeros_like(dcolor_ref)
+        dgeom_ref[...] = jnp.zeros_like(dgeom_prev)
+        dcolor_ref[...] = jnp.zeros_like(dcolor_prev)
 
 
-def _rasterize_bwd_raw(geom_stream, color_stream, gout, galpha_eff, tfin,
-                       istop, isects: PaddedIsects, n_tiles: int,
-                       tiles_x: int, tile_size: int, chunk: int,
-                       interpret: bool):
-    C = color_stream.shape[0]
-    G = isects.tile_of_chunk.shape[0]
+def _rasterize_bwd_raw(geom_s, color_s, gout, galpha, tfin, istop,
+                       sched: ChunkSchedule, n_tiles, tiles_x, tile_size,
+                       sb, chunk, interpret):
+    C = color_s.shape[0]
+    G = sched.blk.shape[0]
     P = tile_size * tile_size
-    flags = _pack_flags(isects)
+    capacity = geom_s.shape[1]
 
-    # the reverse walk indexes everything at pos = G-1-k inside index maps
+    # walk-order revisit flag: in the REVERSED walk, chunk at pos is a
+    # non-first visit of its block when pos+1 (visited just before) shares it
+    rv = jnp.concatenate([
+        (sched.blk[:-1] == sched.blk[1:]).astype(jnp.int32),
+        jnp.zeros((1,), jnp.int32)], axis=0)
+
     def rev(idx_fn):
-        return lambda k, t, f: idx_fn(G - 1 - k, t)
+        return lambda k, b, t, f, r: idx_fn(G - 1 - k, b, t)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((8, chunk), rev(lambda p, t: (0, p))),
-            pl.BlockSpec((C, chunk), rev(lambda p, t: (0, p))),
-            pl.BlockSpec((1, P, C), rev(lambda p, t: (t[p], 0, 0))),
-            pl.BlockSpec((1, 1, P), rev(lambda p, t: (t[p], 0, 0))),
-            pl.BlockSpec((1, 1, P), rev(lambda p, t: (t[p], 0, 0))),
-            pl.BlockSpec((1, 1, P), rev(lambda p, t: (t[p], 0, 0))),
+            pl.BlockSpec((8, sb), rev(lambda p, b, t: (0, b[p]))),
+            pl.BlockSpec((C, sb), rev(lambda p, b, t: (0, b[p]))),
+            pl.BlockSpec((1, P, C), rev(lambda p, b, t: (t[p], 0, 0))),
+            pl.BlockSpec((1, 1, P), rev(lambda p, b, t: (t[p], 0, 0))),
+            pl.BlockSpec((1, 1, P), rev(lambda p, b, t: (t[p], 0, 0))),
+            pl.BlockSpec((1, 1, P), rev(lambda p, b, t: (t[p], 0, 0))),
         ],
         out_specs=[
-            pl.BlockSpec((8, chunk), rev(lambda p, t: (0, p))),
-            pl.BlockSpec((C, chunk), rev(lambda p, t: (0, p))),
+            pl.BlockSpec((6, sb), rev(lambda p, b, t: (0, b[p]))),
+            pl.BlockSpec((C, sb), rev(lambda p, b, t: (0, b[p]))),
         ],
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),   # T_run
@@ -602,16 +684,141 @@ def _rasterize_bwd_raw(geom_stream, color_stream, gout, galpha_eff, tfin,
     )
     dgeom, dcolor = pl.pallas_call(
         functools.partial(_bwd_kernel, tiles_x=tiles_x, tile_size=tile_size,
-                          chunk=chunk, n_channels=C, bg_dot_g_on=False),
+                          sb=sb, chunk=chunk, n_channels=C),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct(geom_stream.shape, jnp.float32),
-            jax.ShapeDtypeStruct(color_stream.shape, jnp.float32),
+            jax.ShapeDtypeStruct((6, capacity), jnp.float32),
+            jax.ShapeDtypeStruct((C, capacity), jnp.float32),
         ],
         interpret=interpret,
-    )(isects.tile_of_chunk, flags, geom_stream, color_stream, gout,
-      galpha_eff, tfin, istop)
+    )(sched.blk, sched.tile_of_chunk, sched.flags, rv, geom_s, color_s,
+      gout, galpha, tfin, istop)
     return dgeom, dcolor
+
+
+# ---------------------------------------------------------------------------
+# reduce kernel: gid-grouped slot gradients -> per-gaussian sums
+# ---------------------------------------------------------------------------
+
+def _reduce_kernel(
+    g8_ref,                      # [n_blocks] i32 aligned window base / 8
+    grads_ref, gid_ref,          # [R_pad, B], [1, B]
+    out_hbm,                     # [n8 + RED_W/8, 128] flat (ANY memspace)
+    partial, carry, sem,
+    *, r_rows: int,
+):
+    """Windowed one-hot group-by over the gid-sorted gradient stream.
+
+    The HBM output is FLAT: row r packs gaussians [8r, 8r+8) as 8 x 16-lane
+    field groups, so the per-block DMA window ([RW, 128]) is tile-aligned
+    (Mosaic requires 128-lane slices).  The whole shifted window rides the
+    sequential grid as the carry, so later blocks overwrite earlier rows
+    with identical-or-more-complete sums — last write wins."""
+    b = pl.program_id(0)
+    B = EXPAND_BLOCK
+    W = RED_W
+    RW = RED_W // 8
+    R_pad = TABLE_D
+    g_base = g8_ref[b] * 8
+
+    # one-hot group-by: column = gid - g_base (bounded by B + 8 <= W since
+    # every gaussian owns >= 1 slot and the base is aligned down by < 8)
+    gid = gid_ref[...]                                  # [1, B] float
+    w = gid.astype(jnp.int32) - g_base
+    widx = lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    oh = (widx == w.reshape(B, 1)).astype(jnp.float32)  # [B, W]
+    sums = lax.dot_general(
+        oh, grads_ref[...], (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST)                # [W, R_pad]
+
+    # relayout [W, R_pad] -> flat [RW, 128] on the MXU: row r lane 16p+i
+    # holds sums[8r + p, i]
+    ri = lax.broadcasted_iota(jnp.int32, (RW, W), 0)
+    wi = lax.broadcasted_iota(jnp.int32, (RW, W), 1)
+    ii = lax.broadcasted_iota(jnp.int32, (R_pad, 128), 0)
+    ci = lax.broadcasted_iota(jnp.int32, (R_pad, 128), 1)
+    flat = jnp.zeros((RW, 128), jnp.float32)
+    for p in range(8):
+        P = (wi == 8 * ri + p).astype(jnp.float32)      # [RW, W]
+        E = (ci == 16 * p + ii).astype(jnp.float32)     # [R_pad, 128]
+        picked = jnp.dot(P, sums, preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)   # [RW, R_pad]
+        flat = flat + jnp.dot(picked, E,
+                              preferred_element_type=jnp.float32,
+                              precision=lax.Precision.HIGHEST)
+
+    @pl.when(b == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+
+    # shift the previous window's partials down by the (row-aligned) window
+    # advance and merge: new[i, :] = old[i + dr, :]
+    dr = g8_ref[b] - g8_ref[jnp.maximum(b - 1, 0)]
+    si = lax.broadcasted_iota(jnp.int32, (RW, RW), 0)
+    sj = lax.broadcasted_iota(jnp.int32, (RW, RW), 1)
+    S = (sj == si + dr).astype(jnp.float32)
+    shifted = jnp.dot(S, carry[...], preferred_element_type=jnp.float32,
+                      precision=lax.Precision.HIGHEST)
+    total = flat + shifted
+    partial[...] = total
+    carry[...] = total
+
+    copy = pltpu.make_async_copy(
+        partial, out_hbm.at[pl.ds(g8_ref[b], RW), :], sem)
+    copy.start()
+    copy.wait()
+
+
+def _reduce_by_gid(dgeom, dcolor, gid_sorted, n, interpret):
+    """Per-gaussian sums of the per-slot gradient rows.
+
+    Sorts (gid, grad rows) so each gaussian's slots are contiguous, then a
+    windowed one-hot matmul closes each group; the shifted window partial
+    rides the sequential grid as a carry and finished rows are (re)written
+    flat, 8 gaussians per 128-lane row."""
+    R = 2 + dgeom.shape[0] + dcolor.shape[0]    # + the 2 recovered abs rows
+    capacity = dgeom.shape[1]
+    B = EXPAND_BLOCK
+    RW = RED_W // 8
+    n_blocks = capacity // B
+    R_pad = TABLE_D
+
+    ops = lax.sort((gid_sorted,) + tuple(dgeom) + tuple(dcolor),
+                   num_keys=1, is_stable=True)
+    gid2 = ops[0]
+    # AbsGS |d means2d| is a per-slot statistic: rebuild it from the sorted
+    # dmx/dmy rows (elementwise) instead of carrying 2 extra sort operands
+    rows = jnp.stack(
+        list(ops[1:7]) + [jnp.abs(ops[1]), jnp.abs(ops[2])]
+        + list(ops[7:]) + [jnp.zeros((capacity,), jnp.float32)]
+        * (R_pad - R), axis=0)                          # [R_pad, cap]
+
+    g_lo = jnp.clip(gid2[::B].astype(jnp.int32), 0, n)
+    g8 = g_lo // 8                                      # aligned base / 8
+
+    n8 = -(-n // 8)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((R_pad, B), lambda k, g: (0, k)),
+            pl.BlockSpec((1, B), lambda k, g: (0, k)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((RW, 128), jnp.float32),
+            pltpu.VMEM((RW, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_reduce_kernel, r_rows=R),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n8 + RW, 128), jnp.float32),
+        interpret=interpret,
+    )(g8, rows, gid2[None, :])
+    return out[:n8].reshape(n8 * 8, R_pad)[:n, :R]      # [N, R]
 
 
 # ---------------------------------------------------------------------------
@@ -625,62 +832,6 @@ def _tiles_to_image(x_tPC, tiles_y, tiles_x, ts, H, W):
     return img[:H, :W]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
-def rasterize_pallas(means2d, conics, opacities, channels, absgrad_tap,
-                     isects, img_height, img_width, tile_size=16, chunk=128,
-                     interpret=False):
-    """Rasterize with the Pallas TPU kernels.
-
-    Returns (channels_img [H, W, C] WITHOUT background blending,
-             alpha [H, W]). Apply background as
-    `img + (1 - alpha)[..., None] * bg` (differentiable in XLA).
-
-    `absgrad_tap` [N, 2] zeros: its cotangent is the AbsGS statistic —
-    sum over tiles of |per-(tile,gaussian) means2d gradient| (same
-    granularity as gsplat's in-kernel absgrad accumulation).
-    """
-    out, _, _ = _fwd_impl(means2d, conics, opacities, channels, isects,
-                          img_height, img_width, tile_size, chunk, interpret)
-    return out
-
-
-def _fwd_impl(means2d, conics, opacities, channels, isects,
-              img_height, img_width, tile_size, chunk, interpret,
-              want_streams=False):
-    tiles_x = -(-img_width // tile_size)
-    tiles_y = -(-img_height // tile_size)
-    n_tiles = tiles_x * tiles_y
-    geom_s, color_s = _gather_streams(means2d, conics, opacities, channels,
-                                      isects.padded_ids)
-    out_t, tfin_t, istop_t = _rasterize_fwd_raw(
-        geom_s, color_s, isects, n_tiles, tiles_x, tile_size, chunk,
-        interpret)
-    # tiles with zero chunks were never written: force empty output
-    empty = (isects.tile_counts == 0)
-    out_t = jnp.where(empty[:, None, None], 0.0, out_t)
-    tfin_t = jnp.where(empty[:, None, None], 1.0, tfin_t)
-    istop_t = jnp.where(empty[:, None, None], BIG_I32, istop_t)
-    ts = tile_size
-    out = _tiles_to_image(out_t, tiles_y, tiles_x, ts, img_height, img_width)
-    alpha = _tiles_to_image(1.0 - tfin_t.transpose(0, 2, 1), tiles_y,
-                            tiles_x, ts,
-                            img_height, img_width)[..., 0]
-    if want_streams:
-        return (out, alpha), tfin_t, istop_t, geom_s, color_s
-    return (out, alpha), tfin_t, istop_t
-
-
-def _rasterize_fwd(means2d, conics, opacities, channels, absgrad_tap,
-                   isects, img_height, img_width, tile_size, chunk,
-                   interpret):
-    (out, alpha), tfin_t, istop_t, geom_s, color_s = _fwd_impl(
-        means2d, conics, opacities, channels, isects, img_height, img_width,
-        tile_size, chunk, interpret, want_streams=True)
-    n = means2d.shape[0]
-    res = (geom_s, color_s, isects, tfin_t, istop_t, n)
-    return (out, alpha), res
-
-
 def _image_to_tiles(img, tiles_y, tiles_x, ts):
     H, W = img.shape[:2]
     C = img.shape[2] if img.ndim == 3 else 1
@@ -692,61 +843,174 @@ def _image_to_tiles(img, tiles_y, tiles_x, ts):
     return img.reshape(tiles_y * tiles_x, ts * ts, C)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+def rasterize_pallas(means2d, conics, opacities, channels, absgrad_tap,
+                     isects, img_height, img_width, tile_size=16, chunk=128,
+                     interpret=False, capacity=None,
+                     tile_based_culling=False):
+    """Rasterize with the Pallas TPU kernels.
+
+    Returns (channels_img [H, W, C] WITHOUT background blending,
+             alpha [H, W]). Apply background as
+    `img + (1 - alpha)[..., None] * bg` (differentiable in XLA).
+
+    `absgrad_tap` [N, 2] zeros: its cotangent is the AbsGS statistic —
+    sum over tiles of |per-(tile,gaussian) means2d gradient| (same
+    granularity as gsplat's in-kernel absgrad accumulation).
+
+    `capacity` (static) is the expansion slot budget; defaults to the
+    smallest multiple of 512 >= 4N.
+    """
+    out, _ = _fwd_impl(means2d, conics, opacities, channels, isects,
+                       img_height, img_width, tile_size, chunk, interpret,
+                       capacity, tile_based_culling)
+    return out
+
+
+def _resolve_capacity(n, capacity):
+    if capacity is None:
+        capacity = 4 * n
+    return -(-capacity // STREAM_BLOCK) * STREAM_BLOCK
+
+
+def _fwd_impl(means2d, conics, opacities, channels, isects,
+              img_height, img_width, tile_size, chunk, interpret,
+              capacity, tile_based_culling):
+    tiles_x = -(-img_width // tile_size)
+    tiles_y = -(-img_height // tile_size)
+    n_tiles = tiles_x * tiles_y
+    n = means2d.shape[0]
+    capacity = _resolve_capacity(n, capacity)
+    tile_bits = max(int(np.ceil(np.log2(n_tiles + 1))), 1)
+    depth_bits = 32 - tile_bits
+
+    with jax.named_scope("gs_expand_sort"):
+        sorted_keys, gid_sorted, geom_s, color_s = _expand_sorted(
+            means2d, conics, opacities, channels, isects, capacity,
+            tile_size, tiles_x, tiles_y, depth_bits, tile_based_culling,
+            interpret)
+    with jax.named_scope("gs_schedule"):
+        sched = _build_schedule(sorted_keys, n_tiles, depth_bits, capacity,
+                                STREAM_BLOCK)
+    with jax.named_scope("gs_raster_fwd"):
+        out_t, tfin_t, istop_t = _rasterize_fwd_raw(
+            geom_s, color_s, sched, n_tiles, tiles_x, tile_size,
+            STREAM_BLOCK, chunk, interpret)
+
+    empty = (sched.tile_counts == 0)
+    out_t = jnp.where(empty[:, None, None], 0.0, out_t)
+    tfin_t = jnp.where(empty[:, None, None], 1.0, tfin_t)
+    istop_t = jnp.where(empty[:, None, None], BIG_I32, istop_t)
+    ts = tile_size
+    out = _tiles_to_image(out_t, tiles_y, tiles_x, ts, img_height, img_width)
+    alpha = _tiles_to_image(1.0 - tfin_t.transpose(0, 2, 1), tiles_y,
+                            tiles_x, ts, img_height, img_width)[..., 0]
+    # real slot count (invalid keys sort to the end): positions past it in
+    # the gradient streams are never written by the kernels
+    n_real = jnp.searchsorted(
+        sorted_keys,
+        jnp.uint32(n_tiles) << depth_bits).astype(jnp.int32)
+    res = (geom_s, color_s, gid_sorted, sched, tfin_t, istop_t, n_real, n)
+    return (out, alpha), res
+
+
+def _rasterize_fwd(means2d, conics, opacities, channels, absgrad_tap,
+                   isects, img_height, img_width, tile_size, chunk,
+                   interpret, capacity, tile_based_culling):
+    (out, alpha), res = _fwd_impl(
+        means2d, conics, opacities, channels, isects, img_height, img_width,
+        tile_size, chunk, interpret, capacity, tile_based_culling)
+    return (out, alpha), res + (isects,)
+
+
 def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
-                   res, cotangents):
-    geom_s, color_s, isects, tfin_t, istop_t, n = res
+                   capacity, tile_based_culling, res, cotangents):
+    (geom_s, color_s, gid_sorted, sched, tfin_t, istop_t, n_real, n,
+     isects) = res
     g_out, g_alpha = cotangents
     tiles_x = -(-img_width // tile_size)
     tiles_y = -(-img_height // tile_size)
     n_tiles = tiles_x * tiles_y
     ts = tile_size
 
-    gout_t = _image_to_tiles(g_out, tiles_y, tiles_x, ts)       # [T, P, C]
+    gout_t = _image_to_tiles(g_out, tiles_y, tiles_x, ts)
     galpha_t = _image_to_tiles(g_alpha, tiles_y, tiles_x,
-                               ts).transpose(0, 2, 1)  # [T, 1, P]
-    # alpha = 1 - T_final: dL/dT_final = -g_alpha. Fold into the Sg carry:
-    # Sg_init = -T_final * galpha_eff with galpha_eff = g_alpha (see kernel:
-    # Sg = -tf * galpha => dalpha gets +galpha*T_final/(1-a)).
-    dgeom_s, dcolor_s = _rasterize_bwd_raw(
-        geom_s, color_s, gout_t, galpha_t, tfin_t, istop_t, isects,
-        n_tiles, tiles_x, ts, chunk, interpret)
+                               ts).transpose(0, 2, 1)
+    with jax.named_scope("gs_raster_bwd"):
+        dgeom_s, dcolor_s = _rasterize_bwd_raw(
+            geom_s, color_s, gout_t, galpha_t, tfin_t, istop_t, sched,
+            n_tiles, tiles_x, ts, STREAM_BLOCK, chunk, interpret)
 
-    all_rows = jnp.concatenate(
-        [dgeom_s[:6], jnp.abs(dgeom_s[0:2]), dcolor_s], axis=0)  # [8+C, m]
-    summed = _segment_sum_by_inverse(all_rows, isects)[:n]       # [n, 8+C]
+    # zero the never-written garbage past the real slots
+    capacity_r = geom_s.shape[1]
+    pos = jnp.arange(capacity_r, dtype=jnp.int32)
+    live = (pos < n_real)[None, :]
+    dgeom_s = jnp.where(live, dgeom_s, 0.0)
+    dcolor_s = jnp.where(live, dcolor_s, 0.0)
+
+    with jax.named_scope("gs_grad_reduce"):
+        summed = _reduce_by_gid(dgeom_s, dcolor_s, gid_sorted, n, interpret)
+    # gaussians truncated entirely out of the slot budget have no window in
+    # the reduce pass: their output rows are uninitialized -> zero them
+    summed = jnp.where((isects.offsets < capacity_r)[:, None], summed, 0.0)
     d_means2d = summed[:, 0:2]
     d_conics = summed[:, 2:5]
     d_opac = summed[:, 5]
     d_abstap = summed[:, 6:8]
     d_channels = summed[:, 8:]
-    d_isects = jax.tree.map(
-        lambda x: np.zeros(np.shape(x), jax.dtypes.float0), isects)
+
+    def zero_like(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.zeros(jnp.shape(x), x.dtype)
+        return np.zeros(np.shape(x), jax.dtypes.float0)
+
+    d_isects = jax.tree.map(zero_like, isects)
     return d_means2d, d_conics, d_opac, d_channels, d_abstap, d_isects
 
 
 rasterize_pallas.defvjp(_rasterize_fwd, _rasterize_bwd)
 
 
-def _segment_sum_by_inverse(rows: jnp.ndarray,
-                            isects: PaddedIsects) -> jnp.ndarray:
-    """Per-gaussian reduction of [R, capacity_padded] slot rows.
+# ---------------------------------------------------------------------------
+# debug helper (tests): XLA count of isects surviving peak-alpha culling
+# ---------------------------------------------------------------------------
 
-    Slot grads are gathered back into EXPANSION order (contiguous per
-    gaussian) through the `q_of_s` map precomputed by the encode, then every
-    gaussian's segment closes with one cumsum + two boundary gathers. This
-    replaces the round-1 sort-based reduction (5.2M sort + scatter-min/max
-    per backward, ~290 ms/frame at bench scale) with gather+cumsum only
-    (~25 ms) — the sort-order bookkeeping was already paid once in the
-    forward encode."""
-    capp = rows.shape[1]
-    qs = isects.q_of_s                                  # [capacity]
-    valid = qs < capp
-    g = jnp.take(rows, jnp.minimum(qs, capp - 1), axis=1)
-    g = jnp.where(valid[None, :], g, 0.0)               # [R, capacity]
-    prefix = jnp.cumsum(g, axis=1)
-    s0, s1 = isects.seg_starts, isects.seg_ends         # [N]
-    hi = jnp.take(prefix, jnp.maximum(s1 - 1, 0), axis=1)
-    lo = jnp.where((s0 > 0)[None, :],
-                   jnp.take(prefix, jnp.maximum(s0 - 1, 0), axis=1), 0.0)
-    out = jnp.where((s1 > s0)[None, :], hi - lo, 0.0)
-    return out.T                                        # [N, R]
+def count_culled_isects(projections, opacities, img_height, img_width,
+                        tile_size):
+    """Reference count of (gaussian, tile) pairs surviving StopThePop
+    peak-alpha culling — O(N * max_rect), test-scale only."""
+    tiles_x = -(-img_width // tile_size)
+    tiles_y = -(-img_height // tile_size)
+    rect_min, rect_max = tile_rect(projections, tile_size, tiles_x, tiles_y)
+    total = 0
+    mn = np.asarray(rect_min)
+    mx = np.asarray(rect_max)
+    m2d = np.asarray(projections.means2d)
+    con = np.asarray(projections.conics)
+    op = np.asarray(opacities)
+    for i in range(m2d.shape[0]):
+        for ty in range(mn[i, 1], mx[i, 1]):
+            for tx in range(mn[i, 0], mx[i, 0]):
+                xlo = tx * tile_size - m2d[i, 0]
+                xhi = xlo + tile_size
+                ylo = ty * tile_size - m2d[i, 1]
+                yhi = ylo + tile_size
+                ca, cb, cc = con[i]
+
+                def sig(dx, dy):
+                    return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+                if xlo <= 0 <= xhi and ylo <= 0 <= yhi:
+                    smin = 0.0
+                else:
+                    cands = []
+                    for dx in (xlo, xhi):
+                        dy = np.clip(-cb * dx / max(cc, 1e-12), ylo, yhi)
+                        cands.append(sig(dx, dy))
+                    for dy in (ylo, yhi):
+                        dx = np.clip(-cb * dy / max(ca, 1e-12), xlo, xhi)
+                        cands.append(sig(dx, dy))
+                    smin = max(min(cands), 0.0)
+                if op[i] * np.exp(-smin) >= 1.0 / 255.0:
+                    total += 1
+    return total

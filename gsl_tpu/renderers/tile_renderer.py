@@ -168,17 +168,19 @@ class TileRenderer:
             absgrad_tap = jnp.zeros_like(proj.means2d)
 
         if use_pallas:
+            # capacity rounding must match the rasterizer's (multiple of the
+            # stream block) so n_dropped stays consistent
+            isect_capacity = -(-isect_capacity // 1024) * 1024
             with jax.named_scope("gs_isect"):
                 isects_p = isect_encode_padded(
                     proj, img_height, img_width, cfg.tile_size,
-                    isect_capacity, cfg.pallas_chunk,
-                    opacities=jax.lax.stop_gradient(opacities),
-                    tile_based_culling=cfg.tile_based_culling)
+                    isect_capacity, cfg.pallas_chunk)
             with jax.named_scope("gs_rasterize"):
                 img_nobg, alpha = rasterize_pallas(
                     proj.means2d, proj.conics, opacities, ch, absgrad_tap,
                     isects_p, img_height, img_width, cfg.tile_size,
-                    cfg.pallas_chunk, False)
+                    cfg.pallas_chunk, False, isect_capacity,
+                    cfg.tile_based_culling)
             img = img_nobg + (1.0 - alpha)[..., None] * bgv[None, None, :]
             n_isects, n_dropped = isects_p.n_isects, isects_p.n_dropped
         else:
@@ -202,7 +204,8 @@ class TileRenderer:
                 hd_img, hd_alpha = rasterize_pallas(
                     proj.means2d, proj.conics, hard_op, inv_d,
                     jnp.zeros_like(proj.means2d), isects_p, img_height,
-                    img_width, cfg.tile_size, cfg.pallas_chunk, False)
+                    img_width, cfg.tile_size, cfg.pallas_chunk, False,
+                    isect_capacity, cfg.tile_based_culling)
             else:
                 hd_img, _ = rasterize_tiles(
                     proj.means2d, proj.conics, hard_op, inv_d, isects,

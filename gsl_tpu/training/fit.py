@@ -294,7 +294,9 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
                 mask=jmask, isect_capacity=isect_capacity,
                 image_idx=jnp.asarray(name_to_idx.get(name, 0), jnp.int32))
         if step % 50 == 0 and int(scalars["n_dropped_isects"]) > 0:
-            isect_capacity *= 2
+            # 1.5x growth (512-aligned): sort/binning cost is linear in the
+            # slot capacity, so over-provisioning is paid on every step
+            isect_capacity = -(-int(isect_capacity * 1.5) // 512) * 512
             print(f"[fit] isect capacity -> {isect_capacity}")
 
         rng, k1, k2 = jax.random.split(rng, 3)

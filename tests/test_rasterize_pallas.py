@@ -40,7 +40,7 @@ def test_pallas_forward_matches_jax(n, seed):
     assert int(isects.n_dropped) == 0
     img_p, alpha_p = rasterize_pallas(
         proj.means2d, proj.conics, opac, colors,
-        jnp.zeros_like(proj.means2d), isects, H, W, TS, CHUNK, True)
+        jnp.zeros_like(proj.means2d), isects, H, W, TS, CHUNK, True, 8192)
     img_p = img_p + (1.0 - alpha_p)[..., None] * bg[None, None, :]
 
     np.testing.assert_allclose(np.asarray(alpha_p), np.asarray(alpha_ref),
@@ -69,7 +69,7 @@ def test_pallas_gradients_match_jax():
     def loss_pallas(means2d, conics, op, col):
         img, alpha = rasterize_pallas(
             means2d, conics, op, col, jnp.zeros_like(means2d), isects,
-            H, W, TS, CHUNK, True)
+            H, W, TS, CHUNK, True, 8192)
         img = img + (1.0 - alpha)[..., None] * bg[None, None, :]
         return jnp.sum((img - target) ** 2) + 0.3 * jnp.sum(alpha ** 2)
 
@@ -100,30 +100,31 @@ def test_pallas_extra_channels():
     isects = isect_encode_padded(proj, H, W, TS, capacity=8192, chunk=CHUNK)
     img_p, alpha_p = rasterize_pallas(
         proj.means2d, proj.conics, opac, ch, jnp.zeros_like(proj.means2d),
-        isects, H, W, TS, CHUNK, True)
+        isects, H, W, TS, CHUNK, True, 8192)
     np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_ref),
                                rtol=1e-4, atol=1e-5)
 
 
 def test_tile_based_culling_matches():
     """Peak-alpha tile culling drops only invisible-contribution isects:
-    image unchanged, fewer intersections."""
+    image unchanged, fewer intersections (checked via the XLA oracle
+    count since culling now runs inside the expand kernel)."""
     n = 500
     proj, opac, colors = _project(n, 8)
-    bg = jnp.zeros(3, jnp.float32)
 
     isects = isect_encode_padded(proj, H, W, TS, capacity=8192, chunk=CHUNK)
     img_a, alpha_a = rasterize_pallas(
         proj.means2d, proj.conics, opac, colors,
-        jnp.zeros_like(proj.means2d), isects, H, W, TS, CHUNK, True)
+        jnp.zeros_like(proj.means2d), isects, H, W, TS, CHUNK, True, 8192)
 
-    isects_c = isect_encode_padded(proj, H, W, TS, capacity=8192,
-                                   chunk=CHUNK, opacities=opac,
-                                   tile_based_culling=True)
-    assert int(isects_c.n_isects) <= int(isects.n_isects)
+    from gsl_tpu.ops.rasterize_pallas import count_culled_isects
+    n_surviving = count_culled_isects(proj, np.asarray(opac), H, W, TS)
+    assert n_surviving <= int(isects.n_isects)
+
     img_b, alpha_b = rasterize_pallas(
         proj.means2d, proj.conics, opac, colors,
-        jnp.zeros_like(proj.means2d), isects_c, H, W, TS, CHUNK, True)
+        jnp.zeros_like(proj.means2d), isects, H, W, TS, CHUNK, True, 8192,
+        True)
     np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_a),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(alpha_b), np.asarray(alpha_a),
