@@ -84,6 +84,40 @@ STREAM_BLOCK = 1024        # slots per fwd/bwd grid step (8 inner sub-chunks);
                            # amortizes per-grid-step DMA/launch overhead
 
 
+def _pack2(a, b):
+    """Round two f32 rows to bf16 and pack the pair into one f32-typed row
+    (bit payload only — sorts move payload bits verbatim)."""
+    au = lax.bitcast_convert_type(a.astype(jnp.bfloat16), jnp.uint16)
+    bu = lax.bitcast_convert_type(b.astype(jnp.bfloat16), jnp.uint16)
+    u = (au.astype(jnp.uint32) << 16) | bu.astype(jnp.uint32)
+    return lax.bitcast_convert_type(u, jnp.float32)
+
+
+def _unpack2(x):
+    u = lax.bitcast_convert_type(x, jnp.uint32)
+    a = lax.bitcast_convert_type((u >> 16).astype(jnp.uint16), jnp.bfloat16)
+    b = lax.bitcast_convert_type(u.astype(jnp.uint16), jnp.bfloat16)
+    return a.astype(jnp.float32), b.astype(jnp.float32)
+
+
+def _pack_rows(rows):
+    """[2k(+1) f32 rows] -> [k(+1) packed rows]; odd tail packs with zero."""
+    out = []
+    for i in range(0, len(rows) - 1, 2):
+        out.append(_pack2(rows[i], rows[i + 1]))
+    if len(rows) % 2:
+        out.append(_pack2(rows[-1], jnp.zeros_like(rows[-1])))
+    return out
+
+
+def _unpack_rows(packed, n):
+    out = []
+    for p in packed:
+        a, b = _unpack2(p)
+        out.extend([a, b])
+    return out[:n]
+
+
 class PaddedIsects(NamedTuple):
     """[N]-sized expansion precompute (no per-slot arrays)."""
 
@@ -245,10 +279,12 @@ def _expand_kernel(
 
 def _expand_sorted(means2d, conics, opacities, channels, isects,
                    capacity, tile_size, tiles_x, tiles_y, depth_bits,
-                   tile_based_culling, interpret):
+                   tile_based_culling, interpret, fast=False):
     """Build the per-gaussian table, expand to per-slot rows, sort by
-    (tile | depth). Returns sorted (keys u32, gid f32, geom [6, cap],
-    color [C, cap])."""
+    (tile | depth). Returns sorted (keys u32, gid f32, geom [8, cap],
+    color [C, cap]). With `fast`, conic/opacity/color payload rides the
+    sort as packed bf16 pairs (~3 fewer operands; sort cost is linear in
+    operand count) — means2d stay f32 for sub-pixel precision."""
     n, c = channels.shape
     B = EXPAND_BLOCK
     assert capacity % B == 0, "isect capacity must be a multiple of 512"
@@ -297,14 +333,27 @@ def _expand_sorted(means2d, conics, opacities, channels, isects,
     )(glo_blk, total[None].astype(jnp.int32), table, table)
 
     key = lax.bitcast_convert_type(rows[0], jnp.uint32)
-    sorted_ops = lax.sort((key,) + tuple(rows[1:8 + c]), num_keys=1,
-                          is_stable=True)
-    sorted_keys = sorted_ops[0]
-    gid_sorted = sorted_ops[1]
+    if fast:
+        payload = ([rows[1], rows[2], rows[3]]          # gid, mx, my (f32)
+                   + _pack_rows([rows[i] for i in range(4, 8 + c)]))
+        sorted_ops = lax.sort((key,) + tuple(payload), num_keys=1,
+                              is_stable=True)
+        sorted_keys = sorted_ops[0]
+        gid_sorted = sorted_ops[1]
+        tail = _unpack_rows(sorted_ops[4:], 4 + c)      # a b c op ch..
+        geom_rows = [sorted_ops[2], sorted_ops[3]] + tail[:4]
+        color_rows = tail[4:]
+    else:
+        sorted_ops = lax.sort((key,) + tuple(rows[1:8 + c]), num_keys=1,
+                              is_stable=True)
+        sorted_keys = sorted_ops[0]
+        gid_sorted = sorted_ops[1]
+        geom_rows = list(sorted_ops[2:8])
+        color_rows = list(sorted_ops[8:])
     zrow = jnp.zeros((2, capacity), jnp.float32)
     geom_s = jnp.concatenate(
-        [jnp.stack(sorted_ops[2:8], axis=0), zrow], axis=0)  # [8, cap]
-    color_s = jnp.stack(sorted_ops[8:], axis=0)        # [C, cap]
+        [jnp.stack(geom_rows, axis=0), zrow], axis=0)   # [8, cap]
+    color_s = jnp.stack(color_rows, axis=0)             # [C, cap]
     return sorted_keys, gid_sorted, geom_s, color_s
 
 
@@ -412,7 +461,9 @@ def _fwd_kernel(
     out_ref, tfin_ref, istop_ref,
     acc, T, istop, alldone,
     *, tiles_x: int, tile_size: int, sb: int, chunk: int, n_channels: int,
+    fast: bool,
 ):
+    prec = None if fast else lax.Precision.HIGHEST
     k = pl.program_id(0)
     tile = tile_ref[k]
     valid, first, last, lo, hi = _unpack(flags_ref[k])
@@ -450,7 +501,7 @@ def _fwd_kernel(
                 lf = jnp.log1p(-a)
                 S_exc = jnp.dot(lf, tri.astype(lf.dtype),
                                 preferred_element_type=jnp.float32,
-                                precision=lax.Precision.HIGHEST)
+                                precision=prec)
                 T_exc = T[...] * jnp.exp(S_exc)
                 T_inc = T_exc * (1.0 - a)
 
@@ -458,7 +509,7 @@ def _fwd_kernel(
                 w = jnp.where(comp, a * T_exc, 0.0)
                 acc[...] += jnp.dot(w, color_ref[:, sl].T,
                                     preferred_element_type=jnp.float32,
-                                    precision=lax.Precision.HIGHEST)
+                                    precision=prec)
                 lf_eff = jnp.where(comp, lf, 0.0)
                 T[...] = T[...] * jnp.exp(
                     jnp.sum(lf_eff, axis=1, keepdims=True))
@@ -476,7 +527,8 @@ def _fwd_kernel(
 
 
 def _rasterize_fwd_raw(geom_s, color_s, sched: ChunkSchedule,
-                       n_tiles, tiles_x, tile_size, sb, chunk, interpret):
+                       n_tiles, tiles_x, tile_size, sb, chunk, interpret,
+                       fast=False):
     C = color_s.shape[0]
     G = sched.blk.shape[0]
     P = tile_size * tile_size
@@ -502,7 +554,7 @@ def _rasterize_fwd_raw(geom_s, color_s, sched: ChunkSchedule,
     )
     out, tfin, istop = pl.pallas_call(
         functools.partial(_fwd_kernel, tiles_x=tiles_x, tile_size=tile_size,
-                          sb=sb, chunk=chunk, n_channels=C),
+                          sb=sb, chunk=chunk, n_channels=C, fast=fast),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, P, C), jnp.float32),
@@ -770,13 +822,15 @@ def _reduce_kernel(
     copy.wait()
 
 
-def _reduce_by_gid(dgeom, dcolor, gid_sorted, n, interpret):
+def _reduce_by_gid(dgeom, dcolor, gid_sorted, n, interpret, fast=False):
     """Per-gaussian sums of the per-slot gradient rows.
 
     Sorts (gid, grad rows) so each gaussian's slots are contiguous, then a
     windowed one-hot matmul closes each group; the shifted window partial
     rides the sequential grid as a carry and finished rows are (re)written
-    flat, 8 gaussians per 128-lane row."""
+    flat, 8 gaussians per 128-lane row. With `fast`, the conic/opacity/color
+    gradient rows ride the sort as packed bf16 pairs (dmx/dmy stay f32 —
+    they drive the densification statistics)."""
     R = 2 + dgeom.shape[0] + dcolor.shape[0]    # + the 2 recovered abs rows
     capacity = dgeom.shape[1]
     B = EXPAND_BLOCK
@@ -784,14 +838,24 @@ def _reduce_by_gid(dgeom, dcolor, gid_sorted, n, interpret):
     n_blocks = capacity // B
     R_pad = TABLE_D
 
-    ops = lax.sort((gid_sorted,) + tuple(dgeom) + tuple(dcolor),
-                   num_keys=1, is_stable=True)
-    gid2 = ops[0]
+    grad_rows = list(dgeom) + list(dcolor)      # dmx dmy da db dc dop ch..
+    if fast:
+        payload = grad_rows[:2] + _pack_rows(grad_rows[2:])
+        ops = lax.sort((gid_sorted,) + tuple(payload), num_keys=1,
+                       is_stable=True)
+        gid2 = ops[0]
+        sorted_rows = [ops[1], ops[2]] + _unpack_rows(
+            ops[3:], len(grad_rows) - 2)
+    else:
+        ops = lax.sort((gid_sorted,) + tuple(grad_rows), num_keys=1,
+                       is_stable=True)
+        gid2 = ops[0]
+        sorted_rows = list(ops[1:])
     # AbsGS |d means2d| is a per-slot statistic: rebuild it from the sorted
     # dmx/dmy rows (elementwise) instead of carrying 2 extra sort operands
     rows = jnp.stack(
-        list(ops[1:7]) + [jnp.abs(ops[1]), jnp.abs(ops[2])]
-        + list(ops[7:]) + [jnp.zeros((capacity,), jnp.float32)]
+        sorted_rows[:6] + [jnp.abs(sorted_rows[0]), jnp.abs(sorted_rows[1])]
+        + sorted_rows[6:] + [jnp.zeros((capacity,), jnp.float32)]
         * (R_pad - R), axis=0)                          # [R_pad, cap]
 
     g_lo = jnp.clip(gid2[::B].astype(jnp.int32), 0, n)
@@ -843,11 +907,12 @@ def _image_to_tiles(img, tiles_y, tiles_x, ts):
     return img.reshape(tiles_y * tiles_x, ts * ts, C)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
 def rasterize_pallas(means2d, conics, opacities, channels, absgrad_tap,
                      isects, img_height, img_width, tile_size=16, chunk=128,
                      interpret=False, capacity=None,
-                     tile_based_culling=False):
+                     tile_based_culling=False, fast=False):
     """Rasterize with the Pallas TPU kernels.
 
     Returns (channels_img [H, W, C] WITHOUT background blending,
@@ -863,7 +928,7 @@ def rasterize_pallas(means2d, conics, opacities, channels, absgrad_tap,
     """
     out, _ = _fwd_impl(means2d, conics, opacities, channels, isects,
                        img_height, img_width, tile_size, chunk, interpret,
-                       capacity, tile_based_culling)
+                       capacity, tile_based_culling, fast)
     return out
 
 
@@ -875,7 +940,7 @@ def _resolve_capacity(n, capacity):
 
 def _fwd_impl(means2d, conics, opacities, channels, isects,
               img_height, img_width, tile_size, chunk, interpret,
-              capacity, tile_based_culling):
+              capacity, tile_based_culling, fast=False):
     tiles_x = -(-img_width // tile_size)
     tiles_y = -(-img_height // tile_size)
     n_tiles = tiles_x * tiles_y
@@ -888,14 +953,14 @@ def _fwd_impl(means2d, conics, opacities, channels, isects,
         sorted_keys, gid_sorted, geom_s, color_s = _expand_sorted(
             means2d, conics, opacities, channels, isects, capacity,
             tile_size, tiles_x, tiles_y, depth_bits, tile_based_culling,
-            interpret)
+            interpret, fast)
     with jax.named_scope("gs_schedule"):
         sched = _build_schedule(sorted_keys, n_tiles, depth_bits, capacity,
                                 STREAM_BLOCK)
     with jax.named_scope("gs_raster_fwd"):
         out_t, tfin_t, istop_t = _rasterize_fwd_raw(
             geom_s, color_s, sched, n_tiles, tiles_x, tile_size,
-            STREAM_BLOCK, chunk, interpret)
+            STREAM_BLOCK, chunk, interpret, fast)
 
     empty = (sched.tile_counts == 0)
     out_t = jnp.where(empty[:, None, None], 0.0, out_t)
@@ -916,15 +981,15 @@ def _fwd_impl(means2d, conics, opacities, channels, isects,
 
 def _rasterize_fwd(means2d, conics, opacities, channels, absgrad_tap,
                    isects, img_height, img_width, tile_size, chunk,
-                   interpret, capacity, tile_based_culling):
+                   interpret, capacity, tile_based_culling, fast):
     (out, alpha), res = _fwd_impl(
         means2d, conics, opacities, channels, isects, img_height, img_width,
-        tile_size, chunk, interpret, capacity, tile_based_culling)
+        tile_size, chunk, interpret, capacity, tile_based_culling, fast)
     return (out, alpha), res + (isects,)
 
 
 def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
-                   capacity, tile_based_culling, res, cotangents):
+                   capacity, tile_based_culling, fast, res, cotangents):
     (geom_s, color_s, gid_sorted, sched, tfin_t, istop_t, n_real, n,
      isects) = res
     g_out, g_alpha = cotangents
@@ -949,7 +1014,8 @@ def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
     dcolor_s = jnp.where(live, dcolor_s, 0.0)
 
     with jax.named_scope("gs_grad_reduce"):
-        summed = _reduce_by_gid(dgeom_s, dcolor_s, gid_sorted, n, interpret)
+        summed = _reduce_by_gid(dgeom_s, dcolor_s, gid_sorted, n, interpret,
+                                fast)
     # gaussians truncated entirely out of the slot budget have no window in
     # the reduce pass: their output rows are uninitialized -> zero them
     summed = jnp.where((isects.offsets < capacity_r)[:, None], summed, 0.0)

@@ -58,7 +58,13 @@ class TileRendererConfig:
     max_viewspace_grad_scale: float = 65535.0
     backend: str = "auto"              # "auto" | "pallas" | "xla"
     pallas_chunk: int = 128
-    tile_based_culling: bool = False   # StopThePop peak-alpha tile culling
+    tile_based_culling: bool = True    # StopThePop peak-alpha tile culling:
+                                       # drops only slots whose peak alpha is
+                                       # below the 1/255 per-pixel threshold,
+                                       # i.e. lossless w.r.t. the compositor
+    fast_math: bool = True             # bf16-packed sort payloads + default
+                                       # matmul precision in the fwd kernel
+                                       # (set False for oracle-exact parity)
 
     def instantiate(self) -> "TileRenderer":
         return TileRenderer(self)
@@ -180,7 +186,7 @@ class TileRenderer:
                     proj.means2d, proj.conics, opacities, ch, absgrad_tap,
                     isects_p, img_height, img_width, cfg.tile_size,
                     cfg.pallas_chunk, False, isect_capacity,
-                    cfg.tile_based_culling)
+                    cfg.tile_based_culling, cfg.fast_math)
             img = img_nobg + (1.0 - alpha)[..., None] * bgv[None, None, :]
             n_isects, n_dropped = isects_p.n_isects, isects_p.n_dropped
         else:
@@ -205,7 +211,7 @@ class TileRenderer:
                     proj.means2d, proj.conics, hard_op, inv_d,
                     jnp.zeros_like(proj.means2d), isects_p, img_height,
                     img_width, cfg.tile_size, cfg.pallas_chunk, False,
-                    isect_capacity, cfg.tile_based_culling)
+                    isect_capacity, cfg.tile_based_culling, cfg.fast_math)
             else:
                 hd_img, _ = rasterize_tiles(
                     proj.means2d, proj.conics, hard_op, inv_d, isects,

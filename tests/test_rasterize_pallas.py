@@ -129,3 +129,40 @@ def test_tile_based_culling_matches():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(alpha_b), np.asarray(alpha_a),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fast_mode_close_to_exact():
+    """fast=True (bf16-packed sort payload) matches the exact path within
+    bf16 rounding of conic/opacity/color (~1% relative)."""
+    proj, opac, colors = _project(400, 3)
+    isects = isect_encode_padded(proj, H, W, TS, capacity=8192, chunk=CHUNK)
+
+    def render(fast):
+        img, alpha = rasterize_pallas(
+            proj.means2d, proj.conics, opac, colors,
+            jnp.zeros_like(proj.means2d), isects, H, W, TS, CHUNK, True,
+            8192, False, fast)
+        return img, alpha
+
+    img_e, alpha_e = render(False)
+    img_f, alpha_f = render(True)
+    np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_e),
+                               rtol=0.05, atol=0.02)
+    np.testing.assert_allclose(np.asarray(alpha_f), np.asarray(alpha_e),
+                               rtol=0.05, atol=0.02)
+
+    # gradients flow and stay close on the packed path
+    def loss(fast, m, c, o, col):
+        img, alpha = rasterize_pallas(
+            m, c, o, col, jnp.zeros_like(m), isects, H, W, TS, CHUNK, True,
+            8192, False, fast)
+        return jnp.sum(img ** 2) + jnp.sum(alpha)
+
+    ge = jax.grad(lambda *a: loss(False, *a), argnums=(0, 2))(
+        proj.means2d, proj.conics, opac, colors)
+    gf = jax.grad(lambda *a: loss(True, *a), argnums=(0, 2))(
+        proj.means2d, proj.conics, opac, colors)
+    for a, b in zip(ge, gf):
+        denom = np.abs(np.asarray(a)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(b) / denom,
+                                   np.asarray(a) / denom, atol=0.03)
