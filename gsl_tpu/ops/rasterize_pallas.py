@@ -757,7 +757,7 @@ def _reduce_kernel(
     grads_ref, gid_ref,          # [R_pad, B], [1, B]
     out_hbm,                     # [n8 + RED_W/8, 128] flat (ANY memspace)
     partial, carry, sem,
-    *, r_rows: int,
+    *, r_rows: int, fast: bool,
 ):
     """Windowed one-hot group-by over the gid-sorted gradient stream.
 
@@ -775,6 +775,10 @@ def _reduce_kernel(
 
     # one-hot group-by: column = gid - g_base (bounded by B + 8 <= W since
     # every gaussian owns >= 1 slot and the base is aligned down by < 8)
+    # under fast mode the gradient rows already passed through bf16 packing,
+    # so default (bf16-input) matmul precision loses nothing extra; the
+    # one-hot operand is exact in bf16 either way
+    prec = None if fast else lax.Precision.HIGHEST
     gid = gid_ref[...]                                  # [1, B] float
     w = gid.astype(jnp.int32) - g_base
     widx = lax.broadcasted_iota(jnp.int32, (B, W), 1)
@@ -782,7 +786,7 @@ def _reduce_kernel(
     sums = lax.dot_general(
         oh, grads_ref[...], (((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST)                # [W, R_pad]
+        precision=prec)                                 # [W, R_pad]
 
     # relayout [W, R_pad] -> flat [RW, 128] on the MXU: row r lane 16p+i
     # holds sums[8r + p, i]
@@ -795,10 +799,12 @@ def _reduce_kernel(
         P = (wi == 8 * ri + p).astype(jnp.float32)      # [RW, W]
         E = (ci == 16 * p + ii).astype(jnp.float32)     # [R_pad, 128]
         picked = jnp.dot(P, sums, preferred_element_type=jnp.float32,
-                         precision=lax.Precision.HIGHEST)   # [RW, R_pad]
+                         precision=lax.Precision.HIGHEST
+                         if not fast else None)         # [RW, R_pad]
         flat = flat + jnp.dot(picked, E,
                               preferred_element_type=jnp.float32,
-                              precision=lax.Precision.HIGHEST)
+                              precision=lax.Precision.HIGHEST
+                              if not fast else None)
 
     @pl.when(b == 0)
     def _():
@@ -877,7 +883,7 @@ def _reduce_by_gid(dgeom, dcolor, gid_sorted, n, interpret, fast=False):
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_reduce_kernel, r_rows=R),
+        functools.partial(_reduce_kernel, r_rows=R, fast=fast),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n8 + RW, 128), jnp.float32),
         interpret=interpret,
