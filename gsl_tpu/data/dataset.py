@@ -46,6 +46,7 @@ class CachedDataset:
         self.image_set = image_set
         self.background = background
         self._cache = {}
+        self._mask_cache = {}
 
     def __len__(self):
         return len(self.image_set)
@@ -57,6 +58,25 @@ class CachedDataset:
             return None
         d = np.asarray(d[i])
         return d if np.any(d != 0) else None
+
+    def get_mask(self, i: int) -> Optional[np.ndarray]:
+        """Per-image mask [H, W] float32, 1 = keep, 0 = masked out
+        (reference internal/dataset.py:118-137: nonzero mask pixels kept;
+        nearest-resized when the mask resolution differs)."""
+        paths = self.image_set.mask_paths
+        if paths is None or paths[i] is None:
+            return None
+        key = ("mask", i)
+        if key not in self._mask_cache:
+            from PIL import Image
+
+            with Image.open(paths[i]) as im:
+                m = np.asarray(im)
+            if m.ndim == 3:
+                m = m[..., 0]
+            self._mask_cache[key] = (m != 0)
+        m = self._mask_cache[key]
+        return m.astype(np.float32)
 
     def get(self, i: int) -> Tuple[Cameras, str, np.ndarray]:
         if i not in self._cache:
@@ -84,8 +104,16 @@ class CachedDataset:
                     pass
             self._cache[i] = (img * 255.0 + 0.5).astype(np.uint8)
         img = self._cache[i].astype(np.float32) / 255.0
+        mask = self.get_mask(i)
+        if mask is not None and mask.shape[:2] != img.shape[:2]:
+            # nearest resize (reference allow_mask_interpolation path)
+            ys = (np.arange(img.shape[0]) * mask.shape[0]
+                  // img.shape[0]).clip(0, mask.shape[0] - 1)
+            xs = (np.arange(img.shape[1]) * mask.shape[1]
+                  // img.shape[1]).clip(0, mask.shape[1] - 1)
+            mask = mask[np.ix_(ys, xs)]
         return (self.image_set.cameras[i], self.image_set.image_names[i],
-                img)
+                img, mask)
 
 
 class DataLoader:

@@ -39,6 +39,7 @@ from ..data.cameras import Cameras
 from ..models.gaussian import GaussianParams, GaussianState
 from ..ops.projection import Projections, project_gaussians
 from ..ops.rasterize_jax import rasterize_tiles
+from ..ops.rasterize_pallas import isect_encode_padded, rasterize_pallas
 from ..ops.sh import sh_to_rgb
 from ..ops.tiling import isect_encode
 from ..training.metrics import train_loss
@@ -96,6 +97,8 @@ def make_mp_train_step(
     filter_2d: float = 0.3,
     lambda_dssim: float = 0.2,
     compact_k: int = None,
+    backend: str = "auto",
+    fast_math: bool = True,
 ):
     """Build a jitted sharded full training step.
 
@@ -105,10 +108,24 @@ def make_mp_train_step(
       camera batch (one camera per device) + gt images sharded P(('dp','mp')),
       bg_color replicated.
     Returns step(params, alive, opt_state, cams, gts, bg) ->
-      (params, opt_state, loss, tap_grads, radii) with tap_grads/radii
-      sharded P('mp') for density-stat accumulation.
+      (params, opt_state, loss, tap_grads, radii, n_overflow) with
+      tap_grads/radii sharded P('mp') for density-stat accumulation and
+      n_overflow the total visible splats dropped by top-K compaction this
+      step (monitor and raise compact_k when > 0 — the fixed-capacity
+      analogue of the reference's ragged visible-count exchange).
+
+    `backend`: 'pallas' | 'xla' | 'auto' (pallas on TPU) — the same switch
+    as TileRenderer, so multi-chip training runs the Pallas kernels
+    (reference gsplat_distributed_renderer.py:372-389 rasterizes with the
+    same CUDA kernels as single-GPU).
     """
     n_mp = mesh.shape["mp"]
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu")
+    # off-TPU (e.g. the 8-virtual-device CPU dryrun) the Pallas kernels run
+    # in interpret mode so the sharded pallas path stays exercisable
+    interpret = use_pallas and jax.default_backend() != "tpu"
+    pallas_cap = -(-isect_capacity // 1024) * 1024
 
     def device_step(params, alive, cams, gts, bg):
         # leaves here are per-device shards:
@@ -140,6 +157,8 @@ def make_mp_train_step(
             k_eff = cap_local if compact_k is None else min(compact_k,
                                                             cap_local)
             radii_for_x = radii
+            n_visible = jnp.sum((radii > 0).astype(jnp.int32), axis=1)
+            overflow = jnp.sum(jnp.maximum(n_visible - k_eff, 0))
             if k_eff < cap_local:
                 order = jax.lax.stop_gradient(
                     jnp.argsort(radii <= 0, axis=1, stable=True))[:, :k_eff]
@@ -164,17 +183,30 @@ def make_mp_train_step(
                 compensations=jnp.ones((n_total,), payload.dtype),
                 mask=radii_full > 0,
             )
-            isects = isect_encode(proj, img_height, img_width, tile_size,
-                                  isect_capacity)
-            img, _ = rasterize_tiles(
-                proj.means2d, proj.conics, payload[:, 5], payload[:, 6:9],
-                isects, img_height, img_width, tile_size=tile_size,
-                max_per_tile=max_per_tile, chunk=chunk, background=bg)
+            if use_pallas:
+                isects_p = isect_encode_padded(
+                    proj, img_height, img_width, tile_size, pallas_cap)
+                img_nobg, alpha = rasterize_pallas(
+                    proj.means2d, proj.conics, payload[:, 5],
+                    payload[:, 6:9], jnp.zeros_like(proj.means2d),
+                    isects_p, img_height, img_width, tile_size, 128,
+                    interpret, pallas_cap, False, fast_math)
+                img = img_nobg + (1.0 - alpha)[..., None] * bg[None, None]
+            else:
+                isects = isect_encode(proj, img_height, img_width,
+                                      tile_size, isect_capacity)
+                img, _ = rasterize_tiles(
+                    proj.means2d, proj.conics, payload[:, 5],
+                    payload[:, 6:9], isects, img_height, img_width,
+                    tile_size=tile_size, max_per_tile=max_per_tile,
+                    chunk=chunk, background=bg)
             loss, _ = train_loss(img, my_gt, lambda_dssim=lambda_dssim)
-            return lax.pmean(loss, ("dp", "mp")), radii
+            return lax.pmean(loss, ("dp", "mp")), (radii, overflow)
 
-        (loss, radii_local), (pgrads, tap_grads) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(params, tap0)
+        (loss, (radii_local, overflow)), (pgrads, tap_grads) = \
+            jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, tap0)
+        n_overflow = lax.psum(overflow, ("dp", "mp"))
         # params replicated over dp -> sum contributions of dp rows
         pgrads = lax.psum(pgrads, "dp")
         tap_grads = lax.psum(tap_grads, "dp")
@@ -183,7 +215,7 @@ def make_mp_train_step(
         # per-camera grads, distributed_vanilla_density_controller.py:24-47)
         tap_grad_sum = jnp.sum(tap_grads, axis=0)
         radii_max = jnp.max(radii_local, axis=0)
-        return pgrads, loss, tap_grad_sum, radii_max
+        return pgrads, loss, tap_grad_sum, radii_max, n_overflow
 
     from jax import shard_map
 
@@ -192,17 +224,17 @@ def make_mp_train_step(
     grad_step = shard_map(
         device_step, mesh=mesh,
         in_specs=(pspec, pspec, cam_spec, cam_spec, P()),
-        out_specs=(pspec, P(), pspec, pspec),
+        out_specs=(pspec, P(), pspec, pspec, P()),
         check_vma=False,
     )
 
     def step(params, alive, opt_state, cams, gts, bg):
-        pgrads, loss, tap_grad, radii = grad_step(params, alive, cams, gts,
-                                                  bg)
+        pgrads, loss, tap_grad, radii, n_overflow = grad_step(
+            params, alive, cams, gts, bg)
         # elementwise Adam keeps the mp sharding XLA propagated from pgrads
         updates, opt_state = tx.update(pgrads, opt_state, params)
         params = jax.tree.map(lambda a, u: a + u, params, updates)
-        return params, opt_state, loss, tap_grad, radii
+        return params, opt_state, loss, tap_grad, radii, n_overflow
 
     return jax.jit(step)
 

@@ -224,7 +224,7 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
         sel = np.linspace(0, len(outputs.train_set) - 1, n_cams).astype(int)
         cams_s, gts = [], []
         for i in sel:
-            cam_i, _, img_i = dataset.get(int(i))
+            cam_i, _, img_i, _ = dataset.get(int(i))
             cams_s.append(cam_i)
             gts.append(img_i)
         grads = jnp.where(state.density.denom > 0,
@@ -253,17 +253,20 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
             new_state, _ = one_pass(grown, jnp.concatenate([scores, pad]))
         return new_state
 
-    def bucketed(img):
-        """pad HWC image to the size bucket; returns (img, mask|None)."""
+    def bucketed(img, img_mask=None):
+        """pad HWC image to the size bucket; returns (img, mask|None).
+        A per-image mask (1 = keep; reference vanilla_metrics.py:63-67
+        zeroes masked pixels in pred and GT) combines with the padding
+        mask."""
         b = max(cfg.size_bucket, 1)
         H, W = img.shape[:2]
         Hp, Wp = -(-H // b) * b, -(-W // b) * b
         if Hp == H and Wp == W:
-            return img, None
+            return img, img_mask
         out = np.zeros((Hp, Wp, 3), img.dtype)
         out[:H, :W] = img
         mask = np.zeros((Hp, Wp), np.float32)
-        mask[:H, :W] = 1.0
+        mask[:H, :W] = 1.0 if img_mask is None else img_mask
         return out, mask
 
     def ckpt_meta():
@@ -272,8 +275,8 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
                 "isect_capacity": int(isect_capacity)}
 
     for step in range(start_step, cfg.max_steps + 1):
-        cam, name, img = next(loader)
-        img, mask = bucketed(img)
+        cam, name, img, img_mask = next(loader)
+        img, mask = bucketed(img, img_mask)
         H, W = img.shape[:2]
         sh_degree = trainer.sh_degree_at(step)
         jmask = None if mask is None else jnp.asarray(mask)
@@ -406,14 +409,30 @@ def validate(trainer: Trainer, state: TrainState,
     img_dir = os.path.join(cfg.output_dir, split)
     if save_images:
         os.makedirs(img_dir, exist_ok=True)
+    from ..ops.lpips import get_lpips_fn
+    lpips_fn = get_lpips_fn()
     for i in range(len(dataset)):
-        cam, name, img = dataset.get(i)
+        cam, name, img, img_mask = dataset.get(i)
         H, W = img.shape[:2]
         render, m = trainer.eval_step(state, cam, jnp.asarray(img), H, W,
                                       sh_degree, bg)
-        s = float(ssim_fn(jnp.asarray(img).transpose(2, 0, 1),
+        gt = jnp.asarray(img)
+        if img_mask is not None:
+            # masked pixels excluded from all metrics (reference
+            # vanilla_metrics.py:63-67 applies the mask in validation too)
+            mk = jnp.asarray(img_mask)[..., None]
+            gt = gt * mk
+            render = render * mk
+            mse = jnp.sum((render - gt) ** 2) / jnp.maximum(
+                jnp.sum(mk) * 3.0, 1.0)
+            psnr = float(-10.0 * jnp.log10(jnp.maximum(mse, 1e-12)))
+        else:
+            psnr = float(m["psnr"])
+        s = float(ssim_fn(gt.transpose(2, 0, 1),
                           render.transpose(2, 0, 1)))
-        rows.append([name, float(m["psnr"]), s])
+        lp = (float(lpips_fn(render, gt))
+              if lpips_fn is not None else float("nan"))
+        rows.append([name, psnr, s, lp])
         if save_images:
             from PIL import Image
             side = np.concatenate([img, np.asarray(render)], axis=1)
@@ -426,9 +445,11 @@ def validate(trainer: Trainer, state: TrainState,
     csv_path = os.path.join(metrics_dir, f"{split}.csv")
     with open(csv_path, "w", newline="") as f:
         wr = csv.writer(f)
-        wr.writerow(["name", "psnr", "ssim"])
+        wr.writerow(["name", "psnr", "ssim", "lpips"])
         wr.writerows(rows)
         mean_psnr = float(np.mean([r[1] for r in rows]))
         mean_ssim = float(np.mean([r[2] for r in rows]))
-        wr.writerow(["MEAN", mean_psnr, mean_ssim])
-    return {"psnr": mean_psnr, "ssim": mean_ssim, "csv": csv_path}
+        mean_lpips = float(np.mean([r[3] for r in rows]))
+        wr.writerow(["MEAN", mean_psnr, mean_ssim, mean_lpips])
+    return {"psnr": mean_psnr, "ssim": mean_ssim, "lpips": mean_lpips,
+            "csv": csv_path}

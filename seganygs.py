@@ -47,7 +47,7 @@ def main():
         i = step % n
         if mask_paths[i] is None:
             continue
-        cam, name, img = dataset.get(i)
+        cam, name, img, _ = dataset.get(i)
         H, W = img.shape[:2]
         masks = np.load(mask_paths[i])["masks"]
         scales = (np.load(scale_paths[i])

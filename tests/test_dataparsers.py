@@ -129,11 +129,33 @@ def test_dataloader(tmp_path):
     it = iter(loader)
     seen = set()
     for _ in range(8):  # two epochs of 4
-        cam, name, img = next(it)
+        cam, name, img, mask = next(it)
         assert img.shape == (32, 32, 3)
         assert img.dtype == np.float32
+        assert mask is None
         seen.add(name)
     assert len(seen) == 4
+
+
+def test_dataset_masks(tmp_path):
+    """Per-image masks load, binarize (nonzero = keep), and nearest-resize
+    to the image resolution (reference internal/dataset.py:118-137)."""
+    from PIL import Image
+    _write_synthetic_blender(str(tmp_path))
+    out = BlenderDataParserConfig(
+        path=str(tmp_path), random_point_count=100).instantiate().get_outputs()
+    mask_dir = tmp_path / "masks"
+    mask_dir.mkdir()
+    m = np.zeros((16, 16), np.uint8)   # half-resolution on purpose
+    m[:, 8:] = 255
+    mp = str(mask_dir / "m.png")
+    Image.fromarray(m).save(mp)
+    out.train_set.mask_paths = [mp] + [None] * (len(out.train_set) - 1)
+    ds = CachedDataset(out.train_set, background=np.ones(3, np.float32))
+    cam, name, img, mask = ds.get(0)
+    assert mask is not None and mask.shape == (32, 32)
+    assert mask[:, :16].max() == 0.0 and mask[:, 16:].min() == 1.0
+    assert ds.get(1)[3] is None
 
 
 def test_ngp_parser(tmp_path):

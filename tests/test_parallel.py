@@ -59,7 +59,7 @@ def test_mp_step_matches_single_device():
                                             opt_state)
     # perturb gt so grads are nonzero
     gts_noisy = jnp.clip(gts + 0.05, 0.0, 1.0)
-    new_params, new_opt, loss_mp, tap_grad, radii = step(
+    new_params, new_opt, loss_mp, tap_grad, radii, n_ovf = step(
         params_s, alive_s, opt_s, cam_batch, gts_noisy, bg)
 
     # ---- single-device reference: mean loss over the same 8 cameras ----
@@ -177,9 +177,50 @@ def test_mp_step_with_compaction_matches():
     step_full2 = make_mp_train_step(mesh, tx, H, W, sh_degree=0,
                                     isect_capacity=4096, max_per_tile=256,
                                     chunk=32)
-    p1, _, l1, _, _ = step_full2(*args, cam_batch, gts_noisy, bg)
-    p2, _, l2, _, _ = step_cmp(*args, cam_batch, gts_noisy, bg)
+    p1, _, l1, _, _, ovf1 = step_full2(*args, cam_batch, gts_noisy, bg)
+    p2, _, l2, _, _, ovf2 = step_cmp(*args, cam_batch, gts_noisy, bg)
     np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    assert int(ovf2) == 0 and int(ovf1) == 0
     np.testing.assert_allclose(np.asarray(jax.device_get(p2.means)),
                                np.asarray(jax.device_get(p1.means)),
                                rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mp_compaction_overflow_reported():
+    """compact_k below a shard's visible count reports dropped splats."""
+    state, cam_batch, cams, gts, bg = _setup()
+    mesh = make_mesh(8, dp=2, mp=4)
+    tx = build_gaussian_optimizer(OptimizationConfig(), 1.0)
+    step = make_mp_train_step(mesh, tx, H, W, sh_degree=0,
+                              isect_capacity=4096, max_per_tile=256,
+                              chunk=32, compact_k=8)
+    args = shard_params(mesh, state.params, state.alive,
+                        tx.init(state.params))
+    _, _, _, _, _, ovf = step(*args, cam_batch, gts, bg)
+    assert int(ovf) > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mp_pallas_backend_matches_xla():
+    """The sharded step on the Pallas (interpret) backend reproduces the
+    XLA-backend loss (VERDICT round-2 item 5)."""
+    state, cam_batch, cams, gts, bg = _setup()
+    mesh = make_mesh(8, dp=2, mp=4)
+    tx = build_gaussian_optimizer(OptimizationConfig(), 1.0)
+    gts_noisy = jnp.clip(gts + 0.05, 0.0, 1.0)
+    args = shard_params(mesh, state.params, state.alive,
+                        tx.init(state.params))
+    step_x = make_mp_train_step(mesh, tx, H, W, sh_degree=0,
+                                isect_capacity=4096, max_per_tile=256,
+                                chunk=32, backend="xla")
+    step_p = make_mp_train_step(mesh, tx, H, W, sh_degree=0,
+                                isect_capacity=4096, max_per_tile=256,
+                                chunk=32, backend="pallas",
+                                fast_math=False)
+    p_x, _, l_x, tg_x, _, _ = step_x(*args, cam_batch, gts_noisy, bg)
+    p_p, _, l_p, tg_p, _, _ = step_p(*args, cam_batch, gts_noisy, bg)
+    np.testing.assert_allclose(float(l_p), float(l_x), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jax.device_get(p_p.means)),
+                               np.asarray(jax.device_get(p_x.means)),
+                               rtol=1e-3, atol=1e-7)
