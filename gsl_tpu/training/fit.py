@@ -67,6 +67,10 @@ class FitConfig:
     """'auto': resume from the latest checkpoint under output_dir (the
     reference's `--ckpt_path last` auto-search, internal/cli.py:92-110);
     'never': always start fresh; anything else: explicit checkpoint path."""
+    init_from: str = ""
+    """initialize the gaussians from an existing artifact (run dir / ply /
+    ckpt) instead of the point cloud — the finetune path (reference
+    utils/finetune_partition.py); optimizer state starts fresh."""
 
 
 def _round_capacity(n: int) -> int:
@@ -104,6 +108,36 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
         max(int(pc.xyz.shape[0] * cfg.capacity_multiplier),
             cfg.min_capacity))
     gaussians = trainer.model.init_from_pcd(pc.xyz, pc.rgb, capacity)
+    if cfg.init_from:
+        # finetune: replace the pcd-initialized gaussians with a trained
+        # artifact, padded into this run's capacity
+        from ..utils.gaussian_model_loader import GaussianModelLoader
+        loaded, _, _ = GaussianModelLoader.load(cfg.init_from)
+        alive_rows = np.asarray(loaded.alive)
+        n_loaded = int(alive_rows.sum())
+        capacity = _round_capacity(
+            max(int(n_loaded * cfg.capacity_multiplier), cfg.min_capacity))
+        arrays = {k: np.asarray(getattr(loaded.params, k))[alive_rows]
+                  for k in ("means", "scales", "rotations", "opacities",
+                            "shs_dc", "shs_rest")}
+        tmpl = trainer.model.init_from_pcd(arrays["means"],
+                                           np.zeros_like(arrays["means"]),
+                                           capacity)
+        new_params = {}
+        for k, v in arrays.items():
+            buf = np.asarray(getattr(tmpl.params, k)).copy()
+            tk = buf.shape[1:]
+            if v.shape[1:] != tk:
+                raise ValueError(
+                    f"init_from artifact field {k} shape {v.shape[1:]} != "
+                    f"model template {tk}")
+            buf[:n_loaded] = v
+            new_params[k] = jnp.asarray(buf)
+        gaussians = GaussianState(
+            params=type(tmpl.params)(**new_params),
+            alive=jnp.asarray(np.arange(capacity) < n_loaded))
+        print(f"[fit] init_from {cfg.init_from}: {n_loaded} gaussians, "
+              f"capacity {capacity}")
 
     is_mip = isinstance(trainer.model, MipSplattingConfig)
     train_cams = outputs.train_set.cameras

@@ -74,7 +74,8 @@ def prune_by_importance(gstate: GaussianState, opt_state,
         jnp.arange(cap, dtype=jnp.int32))
     prune = gstate.alive & (rank < n_dead + n_prune)
     alive = gstate.alive & ~prune
-    opt_state = zero_opt_state_rows(opt_state, prune, cap)
+    if opt_state is not None:
+        opt_state = zero_opt_state_rows(opt_state, prune, cap)
     return (GaussianState(params=gstate.params, alive=alive,
                           extra=gstate.extra), opt_state,
             jnp.sum(prune.astype(jnp.int32)))
