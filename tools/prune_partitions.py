@@ -117,8 +117,8 @@ def _load_cameras(partitions_dir, src, scene):
         if os.path.isfile(snap):
             try:
                 cfg = load_config([snap], {})
-                comps = build_components(cfg)
-                outputs = comps["dataparser"].get_outputs()
+                _, dataparser_cfg, _ = build_components(cfg)
+                outputs = dataparser_cfg.instantiate().get_outputs()
                 return outputs.train_set.cameras
             except Exception as e:
                 print(f"snapshot {snap} unusable: {e}")

@@ -41,8 +41,8 @@ def main():
     from gsl_tpu.renderers.partition_lod import PartitionLoDConfig
 
     cfg = load_config([args.config], {})
-    comps = build_components(cfg)
-    outputs = comps["dataparser"].get_outputs()
+    _, dataparser_cfg, _ = build_components(cfg)
+    outputs = dataparser_cfg.instantiate().get_outputs()
     image_set = {"val": outputs.val_set, "train": outputs.train_set,
                  "test": outputs.test_set}[args.split]
 
