@@ -59,6 +59,9 @@ def _register_extra():
     from .renderers.surfel_renderer import SurfelRendererConfig
     from .training.gs2d import GS2DMetricsConfig
     from .training.depth_trainer import DepthMetricsConfig
+    from .data.dataparsers.spotless_colmap import (
+        SpotLessColmapDataParserConfig)
+    from .training.spotless import SpotLessMetricsConfig
     _REGISTRY.update({
         "EstimatedDepthColmap": EstimatedDepthColmapDataParserConfig,
         "NSVF": NSVFDataParserConfig,
@@ -72,6 +75,8 @@ def _register_extra():
         "SurfelRenderer": SurfelRendererConfig,
         "GS2DMetrics": GS2DMetricsConfig,
         "DepthMetrics": DepthMetricsConfig,
+        "SpotLessColmap": SpotLessColmapDataParserConfig,
+        "SpotLessMetrics": SpotLessMetricsConfig,
     })
 
 

@@ -233,6 +233,40 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
     is_appearance = isinstance(trainer, AppearanceTrainer)
     grad_buffer = trainer.init_grad_buffer(state) if is_grad_acc else None
 
+    # SpotLessSplats: robust-mask MLP + running error histogram ride in
+    # state.extra; SD features load lazily per image name
+    from .spotless import (SpotLessMetricsConfig, init_spotless_state,
+                           make_spotless_step, reset_shs_rest)
+    is_spotless = isinstance(trainer.metrics_cfg, SpotLessMetricsConfig)
+    spotless_step = None
+    sd_feature_cache = {}
+    if is_spotless:
+        sls_cfg = trainer.metrics_cfg
+        if "__spotless__" not in (state.extra or {}):
+            rng, k_sls = jax.random.split(rng)
+            state = state.replace(
+                extra=dict(state.extra or {},
+                           __spotless__=init_spotless_state(
+                               k_sls, sls_cfg)))
+        spotless_step = make_spotless_step(trainer, sls_cfg)
+        sd_paths = (outputs.train_set.extra_data or {}).get(
+            "sd_feature_paths")
+        sd_by_name = (dict(zip(outputs.train_set.image_names, sd_paths))
+                      if sd_paths else {})
+
+        def load_sd_feature(name, H, W):
+            if name not in sd_feature_cache:
+                path = sd_by_name.get(name)
+                if path and os.path.isfile(path):
+                    feat = np.load(path).astype(np.float32)
+                else:
+                    # no features: single uniform channel (mask MLP then
+                    # learns from positional encodings alone)
+                    feat = np.zeros((sls_cfg.n_feature_dims, 50, 50),
+                                    np.float32)
+                sd_feature_cache[name] = jnp.asarray(feat)
+            return sd_feature_cache[name]
+
     # Taming 3DGS: precompute the quadratic count-budget curve from the
     # INITIAL gaussian count (reference taming_3dgs_density_controller.py:376)
     from .taming import (Taming3DGSDensityControllerConfig,
@@ -314,7 +348,15 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
         H, W = img.shape[:2]
         sh_degree = trainer.sh_degree_at(step)
         jmask = None if mask is None else jnp.asarray(mask)
-        if is_appearance:
+        if is_spotless:
+            rng, k_step = jax.random.split(rng)
+            state, scalars = spotless_step(
+                state, cam, jnp.asarray(img),
+                load_sd_feature(name, H, W), bg, k_step, H, W, sh_degree,
+                mask=jmask, isect_capacity=isect_capacity)
+            if step == trainer.metrics_cfg.reset_sh:
+                state = reset_shs_rest(state)
+        elif is_appearance:
             state, scalars = trainer.train_step_appearance(
                 state, cam, jnp.asarray(img), H, W, sh_degree, bg,
                 warm_up=step < trainer.appearance_opt.warm_up,

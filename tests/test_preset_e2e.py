@@ -112,3 +112,16 @@ def test_exposure_preset_updates(tmp_path):
     expos = np.asarray(state.extra["__outproc__"])
     ident = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
     assert np.abs(expos - ident).max() > 1e-6
+
+
+def test_spotless_preset_trains(tmp_path):
+    """SpotLess preset trains end-to-end (features absent -> the mask MLP
+    learns from positional encodings alone); the mask state updates."""
+    _make_dataset(str(tmp_path), n_views=4)
+    ov = _base_overrides(tmp_path, "spotless", 12)
+    trainer, outputs, fit_cfg = _components(tmp_path, "spotless.yaml", ov)
+    state, results = fit(trainer, outputs, fit_cfg, val_at_end=False)
+    sls = state.extra["__spotless__"]
+    assert float(jnp.sum(sls["hist"])) > 0, "error histogram never updated"
+    import numpy as _np
+    assert _np.isfinite(_np.asarray(sls["mlp"]["w1"])).all()
