@@ -62,6 +62,13 @@ def _register_extra():
     from .data.dataparsers.spotless_colmap import (
         SpotLessColmapDataParserConfig)
     from .training.spotless import SpotLessMetricsConfig
+    from .training.density import (
+        StaticDensityControllerConfig, RevisingDensityControllerConfig,
+        NoCullingBigScaleDensityControllerConfig,
+        H3DGSDensityControllerConfig,
+        AccurateVisibilityFilterDensityControllerConfig,
+        BackgroundRemovalDensityControllerConfig)
+    from .training.gns import GNSDensityControllerConfig
     _REGISTRY.update({
         "EstimatedDepthColmap": EstimatedDepthColmapDataParserConfig,
         "NSVF": NSVFDataParserConfig,
@@ -77,6 +84,14 @@ def _register_extra():
         "DepthMetrics": DepthMetricsConfig,
         "SpotLessColmap": SpotLessColmapDataParserConfig,
         "SpotLessMetrics": SpotLessMetricsConfig,
+        "StaticDensityController": StaticDensityControllerConfig,
+        "RevisingDensityController": RevisingDensityControllerConfig,
+        "NoCullingBigScaleDC": NoCullingBigScaleDensityControllerConfig,
+        "H3DGSDensityController": H3DGSDensityControllerConfig,
+        "AccurateVisibilityFilterDensityController":
+            AccurateVisibilityFilterDensityControllerConfig,
+        "BackgroundRemoval": BackgroundRemovalDensityControllerConfig,
+        "GNS": GNSDensityControllerConfig,
     })
 
 

@@ -68,17 +68,92 @@ class VanillaDensityControllerConfig:
         return self
 
 
+# ---------------------------------------------------------------------------
+# variant controllers (all static config branches inside the jitted pass)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class StaticDensityControllerConfig(VanillaDensityControllerConfig):
+    """No-op controller (reference static_density_controller.py): the fit
+    loop skips densify/prune/opacity-reset entirely."""
+
+
+@dataclasses.dataclass
+class RevisingDensityControllerConfig(VanillaDensityControllerConfig):
+    """'Revising Densification in Gaussian Splatting' (arXiv 2404.06109)
+    opacity correction on clone: both copies get
+    alpha_hat = 1 - sqrt(1 - alpha) so the pair composites to the original
+    opacity (reference revising_density_controller.py:21-48)."""
+
+
+@dataclasses.dataclass
+class NoCullingBigScaleDensityControllerConfig(VanillaDensityControllerConfig):
+    """Prunes by opacity (+ screen size after the first opacity reset) but
+    never by world-space scale (reference no_culling_big_scale.py) —
+    large-scene preset where big background splats are legitimate."""
+
+
+@dataclasses.dataclass
+class H3DGSDensityControllerConfig(VanillaDensityControllerConfig):
+    """Hierarchical-3DGS selection (reference h3dgs_density_controller.py):
+    score = ACCUMULATED grad norm * max_radii2D * opacity^(1/5), threshold
+    0.015, candidates additionally need opacity > clone_min_opacity; prune
+    by opacity + world scale only (no screen-size cull)."""
+    densification_interval: int = 300
+    densify_grad_threshold: float = 0.015
+    clone_min_opacity: float = 0.15
+
+
+@dataclasses.dataclass
+class AccurateVisibilityFilterDensityControllerConfig(
+        VanillaDensityControllerConfig):
+    """Densification stats gated by RASTERIZATION-level visibility (a
+    gaussian that actually contributed to a pixel) instead of the
+    projection-level radii > 0 proxy (reference
+    accurate_visibility_filter_density_controller.py, which needs a custom
+    gsplat branch; here the contribution signal is the means2d tap gradient
+    being nonzero — exact for the same purpose)."""
+
+
+@dataclasses.dataclass
+class BackgroundRemovalDensityControllerConfig(
+        VanillaDensityControllerConfig):
+    """Kills gaussians outside the camera-bounding sphere every densify
+    interval after `background_removal_from` by zeroing their opacity, so
+    the next prune removes them (reference background_removal.py)."""
+    background_removal_from: int = 7_000
+    foreground_radius_scaling: float = 1.0
+
+
+def background_removal_step(gstate: GaussianState, scene_center,
+                            foreground_radius) -> GaussianState:
+    """opacity -> ~0 (raw -15) outside the foreground sphere."""
+    dist = jnp.linalg.norm(gstate.params.means
+                           - jnp.asarray(scene_center)[None, :], axis=-1)
+    outside = (dist > foreground_radius) & gstate.alive
+    op = jnp.where(outside[:, None], -15.0, gstate.params.opacities)
+    return GaussianState(params=gstate.params.replace(opacities=op),
+                         alive=gstate.alive, extra=gstate.extra)
+
+
 def update_stats(dstate: DensityControlState, m2d_grad: jnp.ndarray,
                  radii: jnp.ndarray, grad_scale: jnp.ndarray,
-                 distance_factors=None) -> DensityControlState:
+                 distance_factors=None, accurate_visibility=False
+                 ) -> DensityControlState:
     """m2d_grad [CAP, 2] = dL/dmeans2d (pixel units); radii [CAP] int;
     grad_scale [2] = 0.5*[W, H] (viewspace grad scale).
 
     `distance_factors` [CAP] (optional): foreground-first damping — grads of
     gaussians far from the owning partition are attenuated so densification
     stays inside the cell (reference
-    foreground_first_density_controller.py + partition_store.py)."""
+    foreground_first_density_controller.py + partition_store.py).
+
+    `accurate_visibility`: gate by actual pixel contribution (nonzero tap
+    gradient) rather than projection radii
+    (accurate_visibility_filter_density_controller.py)."""
     visible = radii > 0
+    if accurate_visibility:
+        visible = visible & jnp.any(m2d_grad != 0.0, axis=-1)
     g = jnp.linalg.norm(m2d_grad * grad_scale[None, :], axis=-1)
     if distance_factors is not None:
         g = g * jnp.exp(-distance_factors)
@@ -113,8 +188,17 @@ def densify_and_prune(
                       dstate.grad_accum / jnp.maximum(dstate.denom, 1.0), 0.0)
     scales_act = jnp.exp(p.scales)
     max_scale = jnp.max(scales_act, axis=-1)
+    opacities_now = jax.nn.sigmoid(p.opacities[:, 0])
 
-    high_grad = (grads >= cfg.densify_grad_threshold) & alive
+    if isinstance(cfg, H3DGSDensityControllerConfig):
+        # H3DGS: accumulated (not mean) grad * max radii * opacity^(1/5),
+        # opacity floor (h3dgs_density_controller.py:49-60)
+        score = (dstate.grad_accum * dstate.max_radii
+                 * jnp.power(jnp.maximum(opacities_now, 1e-8), 0.2))
+        high_grad = ((score >= cfg.densify_grad_threshold)
+                     & (opacities_now > cfg.clone_min_opacity) & alive)
+    else:
+        high_grad = (grads >= cfg.densify_grad_threshold) & alive
     small = max_scale <= cfg.percent_dense * cameras_extent
     clone_mask = high_grad & small
     split_mask = high_grad & ~small
@@ -133,7 +217,16 @@ def densify_and_prune(
     # split originals become child 1 in place
     new_means = jnp.where(split_mask[:, None], p.means + off1, p.means)
     new_scales = jnp.where(split_mask[:, None], p.scales - log_div, p.scales)
-    params = p.replace(means=new_means, scales=new_scales)
+    new_opacities = p.opacities
+    if isinstance(cfg, RevisingDensityControllerConfig):
+        # opacity correction on clone: alpha_hat = 1 - sqrt(1 - alpha) for
+        # BOTH the original and the copy (revising_density_controller.py)
+        alpha_hat = 1.0 - jnp.sqrt(jnp.maximum(1.0 - opacities_now, 1e-8))
+        raw_hat = inverse_sigmoid(jnp.clip(alpha_hat, 1e-6, 1.0 - 1e-6))
+        new_opacities = jnp.where(clone_mask[:, None], raw_hat[:, None],
+                                  p.opacities)
+    params = p.replace(means=new_means, scales=new_scales,
+                       opacities=new_opacities)
 
     # --- allocate free slots for clones + second split children ---
     want = clone_mask.astype(jnp.int32) + split_mask.astype(jnp.int32)
@@ -176,10 +269,17 @@ def densify_and_prune(
     # --- prune (on post-densify values) ---
     opacities_act = jax.nn.sigmoid(params.opacities[:, 0])
     prune = opacities_act < cfg.cull_opacity_threshold
-    size_prune = (
-        (dstate.max_radii > cfg.cull_screen_size_threshold)
-        | (jnp.max(jnp.exp(params.scales), axis=-1)
-           > cfg.cull_scale_factor * prune_extent))
+    screen_prune = dstate.max_radii > cfg.cull_screen_size_threshold
+    world_prune = (jnp.max(jnp.exp(params.scales), axis=-1)
+                   > cfg.cull_scale_factor * prune_extent)
+    if isinstance(cfg, NoCullingBigScaleDensityControllerConfig):
+        size_prune = screen_prune          # never cull by world scale
+    elif isinstance(cfg, H3DGSDensityControllerConfig):
+        # H3DGS prunes by world scale unconditionally, no screen cull
+        prune = prune | world_prune
+        size_prune = jnp.zeros_like(screen_prune)
+    else:
+        size_prune = screen_prune | world_prune
     prune = prune | (use_size_prune & size_prune)
     # fresh slots have zero stats, so max_radii prune can't hit them
     alive = alive & ~prune

@@ -156,6 +156,69 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
     name_to_idx = {n: i for i, n in
                    enumerate(outputs.train_set.image_names)}
     is_mcmc = isinstance(trainer.density_cfg, MCMCDensityControllerConfig)
+    from .density import (BackgroundRemovalDensityControllerConfig,
+                          StaticDensityControllerConfig,
+                          background_removal_step)
+    is_static_dc = isinstance(trainer.density_cfg,
+                              StaticDensityControllerConfig)
+    from .gns import (GNSController, GNSDensityControllerConfig,
+                      edge_weighted_blend_scores, final_budget_prune,
+                      gns_budget_at, gns_densify, make_gns_step,
+                      prune_by_opacity)
+    is_gns = isinstance(trainer.density_cfg, GNSDensityControllerConfig)
+    if is_gns:
+        gns_cfg = trainer.density_cfg
+        gns_ctl = GNSController(gns_cfg)
+        gns_step = make_gns_step(trainer, gns_cfg)
+        gns_n_alive = int(state.gaussians.n_alive)
+
+        def _gns_densify(st, key, step):
+            nonlocal gns_n_alive
+            from .taming import get_edges
+            d = gns_cfg
+            if d.edge_aware:
+                n_cams = min(d.n_sample_cameras, len(outputs.train_set))
+                sel = np.random.RandomState(step).permutation(
+                    len(outputs.train_set))[:n_cams]
+                cams_s, edges = [], []
+                for i in sel:
+                    cam_i, _, img_i, _ = dataset.get(int(i))
+                    cams_s.append(cam_i)
+                    edges.append(get_edges(jnp.asarray(img_i)))
+                importance = edge_weighted_blend_scores(
+                    trainer.renderer, st.gaussians, cams_s, edges, bg,
+                    trainer.sh_degree_at(step))
+            else:
+                importance = jnp.where(
+                    st.density.denom > 0,
+                    st.density.grad_accum
+                    / jnp.maximum(st.density.denom, 1.0), 0.0)
+            budget = jnp.asarray(gns_budget_at(d, step), jnp.int32)
+            gstate, opt_state, dstate, n_trunc = gns_densify(
+                key, st.gaussians, st.opt_state, st.density, d,
+                importance, budget)
+            if int(n_trunc) > 0:
+                st2 = trainer.grow_state(st, 2 * st.params.capacity)
+                pad = jnp.zeros((st2.params.capacity
+                                 - importance.shape[0],), jnp.float32)
+                gstate, opt_state, dstate, _ = gns_densify(
+                    key, st2.gaussians, st2.opt_state, st2.density, d,
+                    jnp.concatenate([importance, pad]), budget)
+            st = st.replace(params=gstate.params, alive=gstate.alive,
+                            opt_state=opt_state, density=dstate,
+                            extra=gstate.extra)
+            gns_n_alive = int(gstate.n_alive)
+            return st
+    bg_removal_cfg = (trainer.density_cfg if isinstance(
+        trainer.density_cfg, BackgroundRemovalDensityControllerConfig)
+        else None)
+    if bg_removal_cfg is not None:
+        cam_centers = np.stack([
+            np.asarray(outputs.train_set.cameras[i].camera_center)
+            for i in range(len(outputs.train_set))])
+        br_center = cam_centers.mean(0)
+        br_radius = (np.linalg.norm(cam_centers - br_center, axis=-1).max()
+                     * bg_removal_cfg.foreground_radius_scaling)
     means_lr_sched = exponential_decay(
         lr_init=trainer.model.optimization.means_lr_init
         * trainer.cameras_extent,
@@ -348,7 +411,24 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
         H, W = img.shape[:2]
         sh_degree = trainer.sh_degree_at(step)
         jmask = None if mask is None else jnp.asarray(mask)
-        if is_spotless:
+        if is_gns:
+            d = gns_cfg
+            in_phase = gns_ctl.in_reg_phase(step, gns_n_alive)
+            if in_phase and (step - 1) % 100 == 0:
+                ops_sorted = np.sort(np.asarray(jax.nn.sigmoid(
+                    state.params.opacities[:, 0])[state.alive
+                                                  ].reshape(-1)))
+                gns_ctl.update_reg_weight(step, ops_sorted, gns_n_alive)
+            state, scalars = gns_step(
+                state, cam, jnp.asarray(img), H, W, sh_degree, bg,
+                jnp.asarray(gns_ctl.reg_weight if in_phase else 0.0,
+                            jnp.float32),
+                jnp.asarray(step < d.opacity_reg_from
+                            + d.opacity_reg_prior_free_steps),
+                jnp.asarray(gns_ctl.opacity_update_factor(
+                    step, gns_n_alive), jnp.float32),
+                mask=jmask, isect_capacity=isect_capacity)
+        elif is_spotless:
             rng, k_step = jax.random.split(rng)
             state, scalars = spotless_step(
                 state, cam, jnp.asarray(img),
@@ -395,7 +475,43 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
             if (step < d.densify_until_iter
                     and step % d.opacity_reset_interval == 0):
                 state = trainer.opacity_reset_step(state)
+        elif is_gns:
+            d = gns_cfg
+            if (d.densify_from_iter < step < d.densify_until_iter
+                    and step % d.densification_interval == 0):
+                state = _gns_densify(state, k1, step)
+            # natural-selection phase pruning + final budget prune
+            if gns_ctl.in_reg_phase(step, gns_n_alive):
+                near_budget = (step != d.opacity_reg_from
+                               and gns_n_alive < d.budget * 1.05)
+                if near_budget or step == d.opacity_reg_until:
+                    gstate, opt2 = final_budget_prune(
+                        k2, state.gaussians, state.opt_state, d.budget)
+                    state = state.replace(alive=gstate.alive,
+                                          opt_state=opt2)
+                    gns_n_alive = int(gstate.n_alive)
+                    gns_ctl.final_pruned = True
+                    gns_ctl.prune_step = step
+                    print(f"[fit] GNS final prune at {step} -> "
+                          f"{gns_n_alive}")
+                elif (step % d.opacity_reg_interval == 0
+                      and step >= d.opacity_reg_from + 1000):
+                    gstate, opt2, n_p = prune_by_opacity(
+                        state.gaussians, state.opt_state,
+                        d.natural_selection_min_opacity)
+                    state = state.replace(alive=gstate.alive,
+                                          opt_state=opt2)
+                    gns_n_alive = int(gstate.n_alive)
+        elif is_static_dc:
+            pass                       # static controller: no density ops
         else:
+            if (bg_removal_cfg is not None
+                    and bg_removal_cfg.background_removal_from < step
+                    < bg_removal_cfg.densify_until_iter
+                    and step % bg_removal_cfg.densification_interval == 0):
+                gs2 = background_removal_step(state.gaussians, br_center,
+                                              br_radius)
+                state = state.replace(params=gs2.params)
             state = trainer.maybe_density_ops(state, k1, step)
 
         # Mip-Splatting 3D filter recompute (mip_splatting.py:50-63)

@@ -224,7 +224,11 @@ class Trainer:
         gscale = viewspace_grad_scale(
             img_width, img_height,
             self.renderer_cfg.max_viewspace_grad_scale)
-        density = update_stats(state.density, stat_grad, radii, gscale)
+        from .density import AccurateVisibilityFilterDensityControllerConfig
+        acc_vis = isinstance(self.density_cfg,
+                             AccurateVisibilityFilterDensityControllerConfig)
+        density = update_stats(state.density, stat_grad, radii, gscale,
+                               accurate_visibility=acc_vis)
 
         updates, opt_state = self.tx.update(
             pgrads, state.opt_state, state.params)

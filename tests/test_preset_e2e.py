@@ -125,3 +125,58 @@ def test_spotless_preset_trains(tmp_path):
     assert float(jnp.sum(sls["hist"])) > 0, "error histogram never updated"
     import numpy as _np
     assert _np.isfinite(_np.asarray(sls["mlp"]["w1"])).all()
+
+
+def test_gns_preset_trains(tmp_path):
+    """GNS preset: budgeted long-axis-split densification fires and the
+    gaussian count respects the budget curve."""
+    _make_dataset(str(tmp_path), n_views=4)
+    ov = _base_overrides(tmp_path, "gns", 30)
+    ov["model"]["density"] = {
+        "class_path": "GNS",
+        "init_args": {"budget": 400, "densification_interval": 10,
+                      "densify_from_iter": 1, "densify_until_iter": 40,
+                      "densify_grad_threshold": 1e-8,
+                      "n_sample_cameras": 2,
+                      "opacity_reg_from": 100000}}
+    trainer, outputs, fit_cfg = _components(tmp_path, "gns.yaml", ov)
+    state, _ = fit(trainer, outputs, fit_cfg, val_at_end=False)
+    n = int(state.gaussians.n_alive)
+    assert n > 300, f"GNS never densified (n={n})"
+    assert n <= 1200, f"budget curve ignored (n={n})"
+
+
+def test_dc_variant_presets_train(tmp_path):
+    """Revising/H3DGS/NoCullingBigScale/Static/BackgroundRemoval density
+    controllers all train from config (variant branches fire)."""
+    _make_dataset(str(tmp_path), n_views=4)
+    for cp, init in [
+        ("RevisingDensityController",
+         {"densification_interval": 10, "densify_from_iter": 1,
+          "densify_until_iter": 40, "densify_grad_threshold": 1e-8}),
+        ("H3DGSDensityController",
+         {"densification_interval": 10, "densify_from_iter": 1,
+          "densify_until_iter": 40, "densify_grad_threshold": 1e-12,
+          "clone_min_opacity": 0.01, "cull_scale_factor": 100.0}),
+        ("NoCullingBigScaleDC",
+         {"densification_interval": 10, "densify_from_iter": 1,
+          "densify_until_iter": 40, "densify_grad_threshold": 1e-8}),
+        ("StaticDensityController", {}),
+        ("BackgroundRemoval",
+         {"background_removal_from": 5, "densification_interval": 10}),
+        ("AccurateVisibilityFilterDensityController",
+         {"densification_interval": 10, "densify_from_iter": 1,
+          "densify_until_iter": 40, "densify_grad_threshold": 1e-8}),
+    ]:
+        ov = _base_overrides(tmp_path, f"dc_{cp}", 25)
+        ov["model"]["density"] = {"class_path": cp, "init_args": init}
+        trainer, outputs, fit_cfg = _components(tmp_path, "blender.yaml",
+                                                ov)
+        state, _ = fit(trainer, outputs, fit_cfg, val_at_end=False)
+        n = int(state.gaussians.n_alive)
+        if cp == "StaticDensityController":
+            assert n == 300, f"{cp}: static must not densify (n={n})"
+        elif cp in ("RevisingDensityController", "H3DGSDensityController",
+                    "NoCullingBigScaleDC",
+                    "AccurateVisibilityFilterDensityController"):
+            assert n > 300, f"{cp} never densified (n={n})"
