@@ -69,6 +69,8 @@ def _register_extra():
         AccurateVisibilityFilterDensityControllerConfig,
         BackgroundRemovalDensityControllerConfig)
     from .training.gns import GNSDensityControllerConfig
+    from .data.dataparsers.feature_3dgs import (
+        Feature3DGSColmapDataParserConfig)
     _REGISTRY.update({
         "EstimatedDepthColmap": EstimatedDepthColmapDataParserConfig,
         "NSVF": NSVFDataParserConfig,
@@ -92,6 +94,7 @@ def _register_extra():
             AccurateVisibilityFilterDensityControllerConfig,
         "BackgroundRemoval": BackgroundRemovalDensityControllerConfig,
         "GNS": GNSDensityControllerConfig,
+        "Feature3DGSColmap": Feature3DGSColmapDataParserConfig,
     })
 
 
