@@ -241,6 +241,10 @@ def main(argv=None):
     ap.add_argument("-n", "--name", default="run")
     ap.add_argument("--output", default="outputs")
     ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--viewer", action="store_true",
+                    help="serve the in-training web viewer (reference "
+                         "--viewer)")
+    ap.add_argument("--viewer_port", type=int, default=8080)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("set", nargs="*", help="key=value overrides")
     args = ap.parse_args(argv)
@@ -262,6 +266,9 @@ def main(argv=None):
         cfg.setdefault("trainer", {})["max_steps"] = args.max_steps
     cfg.setdefault("fit", {}).setdefault(
         "output_dir", os.path.join(args.output, args.name))
+    if args.viewer:
+        cfg["fit"]["viewer"] = True
+        cfg["fit"]["viewer_port"] = args.viewer_port
     cfg["fit"]["seed"] = args.seed
 
     trainer, dataparser_cfg, fit_cfg = build_components(cfg)

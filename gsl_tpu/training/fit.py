@@ -63,6 +63,11 @@ class FitConfig:
     size_bucket: int = 64
     """pad images up to multiples of this so mixed-size datasets share
     compiled train steps (masked loss over the padding)"""
+    viewer: bool = False
+    """serve an in-training web viewer (reference --viewer flag,
+    internal/viewer/training_viewer.py); the train loop pumps render
+    requests between steps"""
+    viewer_port: int = 8080
     resume: str = "auto"
     """'auto': resume from the latest checkpoint under output_dir (the
     reference's `--ckpt_path last` auto-search, internal/cli.py:92-110);
@@ -268,6 +273,39 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
         except Exception as e:
             print(f"[fit] tensorboard unavailable: {e}")
 
+    training_viewer = None
+    if cfg.viewer:
+        from ..viewer.training_viewer import TrainingViewer
+        from ..viewer.viewer import orbit_c2w
+        from ..data.cameras import make_camera
+        training_viewer = TrainingViewer(port=cfg.viewer_port).start()
+        _tv_target = np.stack([
+            np.asarray(outputs.train_set.cameras[i].camera_center)
+            for i in range(len(outputs.train_set))]).mean(0)
+
+        def _tv_render_fn(st, sh_d):
+            def render(yaw, pitch, dist):
+                S = training_viewer.image_size
+                c2w = orbit_c2w(yaw, pitch, dist, _tv_target)
+                w2c = np.linalg.inv(c2w)
+                f = 0.5 * S / np.tan(np.deg2rad(30.0))
+                cam = make_camera(R=w2c[:3, :3], T=w2c[:3, 3], fx=f, fy=f,
+                                  cx=S / 2, cy=S / 2, width=S, height=S)
+                out = trainer.renderer.forward(
+                    st.gaussians, cam, S, S, bg, sh_d)
+                return (np.clip(np.asarray(out.render), 0, 1)
+                        * 255).astype(np.uint8)
+            return render
+
+        # warm the viewer render's jit cache so the first client request
+        # does not stall the train loop for a full compile
+        try:
+            _tv_render_fn(state, trainer.sh_degree_at(start_step))(0.0,
+                                                                   -15.0,
+                                                                   6.0)
+        except Exception as e:
+            print(f"[fit] viewer warmup render failed: {e}")
+
     log_path = os.path.join(cfg.output_dir, "train_log.csv")
     log_f = open(log_path, "a" if start_step > 1 else "w", newline="")
     logger = csv.writer(log_f)
@@ -457,6 +495,14 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
             # slot capacity, so over-provisioning is paid on every step
             isect_capacity = -(-int(isect_capacity * 1.5) // 512) * 512
             print(f"[fit] isect capacity -> {isect_capacity}")
+
+        if training_viewer is not None \
+                and step % training_viewer.pump_interval == 0:
+            # fetching scalars syncs the device, so only at pump cadence
+            training_viewer.pump(
+                step, _tv_render_fn(state, sh_degree),
+                {"loss": float(scalars["loss"]),
+                 "n_gaussians": int(state.gaussians.n_alive)})
 
         rng, k1, k2 = jax.random.split(rng, 3)
         if is_mcmc:

@@ -27,6 +27,27 @@ _PAGE = """<!DOCTYPE html><html><head><title>gsl_tpu viewer</title></head>
   dist <input id="dist" type="range" min="1" max="30" value="6" step="0.5">
   output <select id="out"></select>
 </div>
+<details style="padding:8px"><summary>transform</summary>
+  tx <input id="tx" size=4 value="0"> ty <input id="ty" size=4 value="0">
+  tz <input id="tz" size=4 value="0"> |
+  rx <input id="rx" size=4 value="0"> ry <input id="ry" size=4 value="0">
+  rz <input id="rz" size=4 value="0"> |
+  s <input id="sc" size=4 value="1">
+  <button onclick="applyTransform()">apply</button>
+  <button onclick="fetch('/transform?reset=1').then(refresh)">reset</button>
+</details>
+<details style="padding:8px"><summary>edit (delete box)</summary>
+  min <input id="bmin" size=12 value="-1,-1,-1">
+  max <input id="bmax" size=12 value="1,1,1">
+  <button onclick="deleteBox()">delete inside</button>
+  <span id="editmsg"></span>
+</details>
+<details style="padding:8px"><summary>camera path</summary>
+  <button onclick="addKeyframe()">add keyframe</button>
+  <button onclick="fetch('/path/clear')">clear</button>
+  <a href="/path/render.gif" target="_blank">render gif</a>
+  <span id="pathmsg"></span>
+</details>
 <img id="view" style="width:100%" />
 <script>
 const img = document.getElementById('view');
@@ -45,6 +66,21 @@ function refresh() {
 }
 for (const id of ['yaw','pitch','dist','out'])
   document.getElementById(id).addEventListener('change', refresh);
+function val(id) { return document.getElementById(id).value; }
+async function applyTransform() {
+  await fetch(`/transform?tx=${val('tx')}&ty=${val('ty')}&tz=${val('tz')}` +
+    `&rx=${val('rx')}&ry=${val('ry')}&rz=${val('rz')}&s=${val('sc')}`);
+  refresh();
+}
+async function deleteBox() {
+  const r = await fetch(`/edit/delete_box?min=${val('bmin')}&max=${val('bmax')}`);
+  document.getElementById('editmsg').textContent = await r.text();
+  refresh();
+}
+async function addKeyframe() {
+  const r = await fetch(`/path/add?yaw=${val('yaw')}&pitch=${val('pitch')}&dist=${val('dist')}`);
+  document.getElementById('pathmsg').textContent = await r.text();
+}
 outputs().then(refresh);
 </script></body></html>"""
 
@@ -73,8 +109,11 @@ class Viewer:
                  port: int = 8080, background=(0.0, 0.0, 0.0),
                  image_size: int = 512):
         state, renderer, sh_degree = GaussianModelLoader.load(model_path)
+        self._base_state = state
         self.renderer = ViewerRenderer(state, renderer, sh_degree,
                                        background)
+        from .panels import CameraPath
+        self.camera_path = CameraPath()
         self.host, self.port = host, port
         self.image_size = image_size
         # center orbit on the scene
@@ -121,6 +160,12 @@ class Viewer:
             def log_message(self, *a):
                 pass
 
+            def _ok(self, body):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_GET(self):
                 u = urlparse(self.path)
                 if u.path == "/":
@@ -136,6 +181,49 @@ class Viewer:
                     self.send_header("Content-Type", "application/json")
                     self.end_headers()
                     self.wfile.write(body)
+                elif u.path == "/transform":
+                    from .panels import transform_state
+                    q = parse_qs(u.query)
+                    if q.get("reset"):
+                        viewer.renderer.state = viewer._base_state
+                        return self._ok(b"reset")
+                    g = lambda k, d=0.0: float(q.get(k, [d])[0])
+                    viewer.renderer.state = transform_state(
+                        viewer._base_state,
+                        translate=(g("tx"), g("ty"), g("tz")),
+                        rotate_deg=(g("rx"), g("ry"), g("rz")),
+                        scale=g("s", 1.0))
+                    self._ok(b"ok")
+                elif u.path == "/edit/delete_box":
+                    from .panels import delete_in_box
+                    q = parse_qs(u.query)
+                    bmin = [float(x) for x in q["min"][0].split(",")]
+                    bmax = [float(x) for x in q["max"][0].split(",")]
+                    viewer.renderer.state, n = delete_in_box(
+                        viewer.renderer.state, bmin, bmax)
+                    self._ok(f"deleted {n}".encode())
+                elif u.path == "/path/add":
+                    q = parse_qs(u.query)
+                    viewer.camera_path.add(float(q["yaw"][0]),
+                                           float(q["pitch"][0]),
+                                           float(q["dist"][0]))
+                    self._ok(
+                        f"{len(viewer.camera_path.keyframes)} keyframes"
+                        .encode())
+                elif u.path == "/path/clear":
+                    viewer.camera_path.clear()
+                    self._ok(b"cleared")
+                elif u.path == "/path/render.gif":
+                    def render_pose(yaw, pitch, dist):
+                        c2w = orbit_c2w(yaw, pitch, dist, viewer.target)
+                        return viewer.renderer.get_outputs(
+                            c2w, viewer.image_size, viewer.image_size)
+                    gif = viewer.camera_path.render_gif(
+                        render_pose, n_frames=30)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/gif")
+                    self.end_headers()
+                    self.wfile.write(gif)
                 elif u.path == "/render":
                     q = parse_qs(u.query)
                     yaw = float(q.get("yaw", ["0"])[0])

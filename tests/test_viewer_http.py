@@ -30,3 +30,69 @@ def test_http_viewer_serves(tmp_path):
         "http://127.0.0.1:18999/render?yaw=10&pitch=-10&dist=6&output=rgb",
         timeout=120).read()
     assert img[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_viewer_panels(tmp_path):
+    """Transform / edit / camera-path panels on the HTTP viewer
+    (reference internal/viewer/ui/*)."""
+    means, scales, quats, opac, colors = random_scene(80, 3)
+    state = VanillaGaussianConfig(sh_degree=0).init_from_pcd(
+        np.asarray(means), np.asarray(colors), capacity=128)
+    run = tmp_path / "run" / "point_cloud" / "iteration_100"
+    save_state_ply(str(run / "point_cloud.ply"), state)
+
+    v = Viewer(str(tmp_path / "run"), port=18998, image_size=32)
+    v.start(block=False)
+    time.sleep(0.5)
+    base = "http://127.0.0.1:18998"
+
+    # transform: translate far away -> render must change
+    img0 = urllib.request.urlopen(
+        f"{base}/render?yaw=0&pitch=-10&dist=6", timeout=120).read()
+    urllib.request.urlopen(f"{base}/transform?tx=50&ty=0&tz=0&s=1",
+                           timeout=30).read()
+    img1 = urllib.request.urlopen(
+        f"{base}/render?yaw=0&pitch=-10&dist=6", timeout=120).read()
+    assert img1 != img0
+    urllib.request.urlopen(f"{base}/transform?reset=1", timeout=30)
+
+    # edit: delete everything in a huge box -> fewer alive
+    n_before = int(np.asarray(v.renderer.state.alive).sum())
+    msg = urllib.request.urlopen(
+        f"{base}/edit/delete_box?min=-100,-100,-100&max=100,100,100",
+        timeout=30).read()
+    assert b"deleted" in msg
+    assert int(np.asarray(v.renderer.state.alive).sum()) < n_before
+
+    # camera path -> animated gif
+    urllib.request.urlopen(f"{base}/path/add?yaw=0&pitch=-10&dist=6",
+                           timeout=30)
+    urllib.request.urlopen(f"{base}/path/add?yaw=90&pitch=-10&dist=6",
+                           timeout=30)
+    gif = urllib.request.urlopen(f"{base}/path/render.gif",
+                                 timeout=300).read()
+    assert gif[:6] in (b"GIF87a", b"GIF89a")
+
+
+def test_training_viewer_pump():
+    """TrainingViewer: client camera request -> train-loop pump -> frame."""
+    import json
+    from gsl_tpu.viewer.training_viewer import TrainingViewer
+
+    tv = TrainingViewer(port=18997, image_size=16, pump_interval=1).start()
+    time.sleep(0.3)
+    base = "http://127.0.0.1:18997"
+    st = json.loads(urllib.request.urlopen(
+        f"{base}/status?yaw=10&pitch=-10&dist=5", timeout=30).read())
+    assert st.get("frame") is None
+
+    def render_fn(yaw, pitch, dist):
+        return np.full((16, 16, 3), 128, np.uint8)
+
+    tv.pump(1, render_fn, {"loss": 0.5, "n_gaussians": 100})
+    st = json.loads(urllib.request.urlopen(
+        f"{base}/status?yaw=10&pitch=-10&dist=5", timeout=30).read())
+    assert st["frame"] == 1 and st["loss"] == 0.5
+    frame = urllib.request.urlopen(f"{base}/frame", timeout=30).read()
+    assert frame[:2] == b"\xff\xd8"  # JPEG
+    tv.stop()
