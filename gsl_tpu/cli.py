@@ -71,6 +71,7 @@ def _register_extra():
     from .training.gns import GNSDensityControllerConfig
     from .data.dataparsers.feature_3dgs import (
         Feature3DGSColmapDataParserConfig)
+    from .data.dataparsers.silvr import SILVRDataParserConfig
     _REGISTRY.update({
         "EstimatedDepthColmap": EstimatedDepthColmapDataParserConfig,
         "NSVF": NSVFDataParserConfig,
@@ -95,6 +96,7 @@ def _register_extra():
         "BackgroundRemoval": BackgroundRemovalDensityControllerConfig,
         "GNS": GNSDensityControllerConfig,
         "Feature3DGSColmap": Feature3DGSColmapDataParserConfig,
+        "SILVR": SILVRDataParserConfig,
     })
 
 
@@ -225,6 +227,20 @@ def build_components(cfg: Dict):
         else:
             extra_kwargs["output_processor"] = _build(
                 BilateralGridConfig, op_spec)  # class_path resolved inside
+
+    # plugins (reference internal/plugins/): list of names or class_path
+    plugin_specs = cfg.get("plugins") or model_spec.get("plugins") or []
+    if plugin_specs:
+        from .training.plugins import PLUGIN_REGISTRY
+        plugins = []
+        for spec in plugin_specs:
+            if isinstance(spec, str):
+                spec = {"class_path": spec}
+            name = spec.get("class_path")
+            pcfg_cls = PLUGIN_REGISTRY.get(name) or _resolve_class(name)
+            plugins.append(_build(pcfg_cls, spec.get("init_args", {})
+                                  ).instantiate())
+        extra_kwargs["plugins"] = tuple(plugins)
 
     extra_kwargs = {k: v for k, v in extra_kwargs.items() if v is not None}
     trainer = trainer_cls(model=model, renderer=renderer, density=density,

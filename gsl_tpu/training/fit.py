@@ -496,6 +496,9 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
             isect_capacity = -(-int(isect_capacity * 1.5) // 512) * 512
             print(f"[fit] isect capacity -> {isect_capacity}")
 
+        for _plugin in trainer.plugins:
+            state = _plugin.after_step(state, step)
+
         if training_viewer is not None \
                 and step % training_viewer.pump_interval == 0:
             # fetching scalars syncs the device, so only at pump cadence

@@ -68,7 +68,9 @@ class Trainer:
         metrics: VanillaMetricsConfig = None,
         config: TrainerConfig = None,
         output_processor=None,
+        plugins: tuple = (),
     ):
+        self.plugins = tuple(plugins)
         self.model = model or VanillaGaussianConfig()
         self.renderer_cfg = renderer or TileRendererConfig()
         self.renderer = self.renderer_cfg.instantiate()
@@ -149,10 +151,13 @@ class Trainer:
                       sh_degree, gt_image, mask, tap, abstap, step,
                       aux_inputs=None, isect_capacity=None,
                       op_params=None, image_idx=None):
+        render_types = frozenset({"rgb"}).union(
+            *[p.required_render_types for p in self.plugins]) \
+            if self.plugins else frozenset({"rgb"})
         out = self.renderer.forward(
             gstate, camera, img_height, img_width, bg_color, sh_degree,
             means2d_tap=tap, absgrad_tap=abstap,
-            isect_capacity=isect_capacity)
+            isect_capacity=isect_capacity, render_types=render_types)
         render = out.render
         op_reg = 0.0
         if op_params is not None:
@@ -177,6 +182,10 @@ class Trainer:
                 loss = loss + m.scale_reg * jnp.sum(
                     jnp.exp(params.scales)
                     * gstate.alive[:, None]) / (3.0 * n_alive)
+        for plugin in self.plugins:
+            term, sc = plugin.extra_loss(out, gt_image, mask, gstate, step)
+            loss = loss + term
+            scalars = dict(scalars, **sc)
         return loss, (scalars, out.radii, out.n_dropped)
 
     # ---- jitted step functions ----
