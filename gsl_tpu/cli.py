@@ -209,6 +209,12 @@ def build_components(cfg: Dict):
         # SWAG (swag_model.py): appearance + per-image transient opacity
         if model_spec.get("swag") or cfg.get("swag"):
             extra_kwargs["with_opacity"] = True
+        # Ha-NeRF-style per-pixel visibility maps
+        # (gsplat_appearance_embedding_visibility_map_renderer.py)
+        if model_spec.get("visibility_map") or cfg.get("visibility_map"):
+            from .training.visibility_map_trainer import (
+                VisibilityMapAppearanceTrainer)
+            trainer_cls = VisibilityMapAppearanceTrainer
     # output processors: shorthand names or class_path
     # (reference configs/bilagrid*.yaml -> internal/output_processors/)
     op_spec = model_spec.get("output_processor") or cfg.get(
