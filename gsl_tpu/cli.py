@@ -234,6 +234,18 @@ def build_components(cfg: Dict):
             extra_kwargs["output_processor"] = _build(
                 BilateralGridConfig, op_spec)  # class_path resolved inside
 
+    # dynamic scenes: deformable / 4DGS hexplane field
+    deform_spec = model_spec.get("deform") or cfg.get("deform")
+    if deform_spec:
+        from .models.deform import DeformModelConfig
+        from .training.deform_trainer import DeformTrainer
+        if isinstance(deform_spec, str):
+            deform_spec = {"field": deform_spec}
+        trainer_cls = DeformTrainer
+        extra_kwargs["field"] = deform_spec.get("field", "mlp")
+        extra_kwargs["deform_cfg"] = _build(
+            DeformModelConfig, deform_spec.get("init_args", {}))
+
     # plugins (reference internal/plugins/): list of names or class_path
     plugin_specs = cfg.get("plugins") or model_spec.get("plugins") or []
     if plugin_specs:

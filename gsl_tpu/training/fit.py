@@ -332,6 +332,8 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
     from .appearance_trainer import AppearanceTrainer
     is_grad_acc = isinstance(trainer, GradAccTrainer)
     is_appearance = isinstance(trainer, AppearanceTrainer)
+    from .deform_trainer import DeformTrainer
+    is_deform = isinstance(trainer, DeformTrainer)
     grad_buffer = trainer.init_grad_buffer(state) if is_grad_acc else None
 
     # SpotLessSplats: robust-mask MLP + running error histogram ride in
@@ -474,6 +476,12 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
                 mask=jmask, isect_capacity=isect_capacity)
             if step == trainer.metrics_cfg.reset_sh:
                 state = reset_shs_rest(state)
+        elif is_deform:
+            rng, k_d = jax.random.split(rng)
+            state, scalars = trainer.train_step_deform(
+                state, cam, jnp.asarray(img), H, W, sh_degree, bg,
+                warm_up=step < trainer.deform_cfg.warm_up, key=k_d,
+                mask=jmask, isect_capacity=isect_capacity)
         elif is_appearance:
             state, scalars = trainer.train_step_appearance(
                 state, cam, jnp.asarray(img), H, W, sh_degree, bg,

@@ -180,3 +180,20 @@ def test_dc_variant_presets_train(tmp_path):
                     "NoCullingBigScaleDC",
                     "AccurateVisibilityFilterDensityController"):
             assert n > 300, f"{cp} never densified (n={n})"
+
+
+def test_deform_presets_train(tmp_path):
+    """Deformable (MLP) and 4DGS (HexPlane) presets train; the field
+    engages after warm-up and its parameters move."""
+    import jax
+    _make_dataset(str(tmp_path), n_views=4)
+    for preset, field in (("deformable.yaml", "mlp"),
+                          ("gs4d.yaml", "hexplane")):
+        ov = _base_overrides(tmp_path, f"d_{field}", 16)
+        ov["model"]["deform"] = {"field": field,
+                                 "init_args": {"warm_up": 4}}
+        trainer, outputs, fit_cfg = _components(tmp_path, preset, ov)
+        state, _ = fit(trainer, outputs, fit_cfg, val_at_end=False)
+        net = state.extra["__deform__"]
+        leaves = jax.tree.leaves(net.params)
+        assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves), field
