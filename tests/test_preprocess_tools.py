@@ -81,3 +81,25 @@ def test_get_depth_scales(tmp_path):
     for v in scales.values():
         assert abs(v["scale"] - a_true) < 0.2, v
         assert abs(v["offset"] - b_true) < 0.1, v
+
+
+def test_sfm_outlier_detection(tmp_path):
+    """A far-away camera gets flagged; healthy ones don't."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_dataparsers import _write_synthetic_colmap
+    _write_synthetic_colmap(str(tmp_path), n_images=8)
+    # append an outlier pose to the binary images.bin
+    import struct
+    ib = str(tmp_path / "sparse" / "0" / "images.bin")
+    raw = open(ib, "rb").read()
+    (n,) = struct.unpack("<Q", raw[:8])
+    rec = struct.pack("<i", 999) + struct.pack("<4d", 1, 0, 0, 0) \
+        + struct.pack("<3d", 500, 500, 500) + struct.pack("<i", 1) \
+        + b"bad_cam.png\x00" + struct.pack("<Q", 0)
+    with open(ib, "wb") as f:
+        f.write(struct.pack("<Q", n + 1) + raw[8:] + rec)
+    r = _run(["tools/sfm_outlier_detection.py", str(tmp_path)])
+    assert r.returncode == 0, r.stderr
+    flagged = open(str(tmp_path / "sfm_outliers.txt")).read()
+    assert "bad_cam.png" in flagged
+    assert flagged.strip().count("\n") == 0  # only the bad one

@@ -111,9 +111,11 @@ def main():
     img_dir = os.path.join(args.workdir, "images")
     os.makedirs(img_dir, exist_ok=True)
     names, paths = [], []
+    render_j = jax.jit(lambda c: renderer.forward(
+        teacher, c, args.res, args.res, bg, 3).render)
     for i, cam in enumerate(cams):
-        out = renderer.forward(teacher, cam, args.res, args.res, bg, 3)
-        img = (np.clip(np.asarray(out.render), 0, 1) * 255).astype(np.uint8)
+        out_render = render_j(cam)
+        img = (np.clip(np.asarray(out_render), 0, 1) * 255).astype(np.uint8)
         name = f"v{i:03d}.png"
         Image.fromarray(img).save(os.path.join(img_dir, name))
         names.append(name)
