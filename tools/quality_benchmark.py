@@ -165,10 +165,15 @@ def main():
     print("fast:", fast_short, "exact:", exact_short)
 
     # ---- depth-key tie rate at bench scale ----
+    # ties only matter WITHIN a tile (the sort key is tile|depth): run the
+    # real expand+sort on the bench scene and count adjacent sorted slots
+    # whose full packed keys collide
     print("== depth-key tie rate ==")
     from __graft_entry__ import _synthetic_state
     from gsl_tpu.data.cameras import make_camera as mc
-    from gsl_tpu.ops.projection import project_gaussians, tile_rect
+    from gsl_tpu.ops import rasterize_pallas as rp
+    from gsl_tpu.ops.projection import project_gaussians
+    from gsl_tpu.ops.sh import sh_to_rgb
     H, W, n = 1088, 1920, 1_000_000
     st = _synthetic_state(n, 1 << 20, sh_degree=1, seed=0)
     cam = mc(R=np.eye(3), T=np.zeros(3), fx=1600., fy=1600., cx=W / 2,
@@ -178,16 +183,25 @@ def main():
         p.means, jnp.exp(p.scales), p.rotations, cam.world_to_camera,
         cam.fx, cam.fy, cam.cx, cam.cy, W, H))()
     tiles_x, tiles_y = -(-W // 16), -(-H // 16)
-    depth_bits = 32 - int(np.ceil(np.log2(tiles_x * tiles_y + 1)))
-    d = np.asarray(proj.depths)
-    visible = np.asarray(proj.radii) > 0
-    db = (np.frombuffer(np.maximum(d, 0).astype(np.float32).tobytes(),
-                        np.uint32) >> (32 - depth_bits))
-    # collision probability among visible gaussians' quantized depths
-    dbv = np.sort(db[visible])
-    ties = float(np.mean(dbv[1:] == dbv[:-1]))
+    depth_bits = 32 - max(int(np.ceil(
+        np.log2(tiles_x * tiles_y + 1))), 1)
+    cap_i = 1 << 22
+    isects = rp.isect_encode_padded(proj, H, W, 16, capacity=cap_i)
+    opac = jax.nn.sigmoid(p.opacities[:, 0])
+    dirs = p.means - jnp.linalg.inv(cam.world_to_camera)[:3, 3]
+    colors = jnp.clip(sh_to_rgb(
+        jnp.concatenate([p.shs_dc, p.shs_rest], 1), dirs, 1) + 0.5, 0.0,
+        None)
+    keys, _, _, _ = jax.jit(lambda: rp._expand_sorted(
+        proj.means2d, proj.conics, opac, colors, isects, cap_i, 16,
+        tiles_x, tiles_y, depth_bits, False, False))()
+    k = np.asarray(keys)
+    n_real = int(np.searchsorted(k, np.uint32(tiles_x * tiles_y)
+                                 << depth_bits))
+    kr = k[:n_real]
+    ties = float(np.mean(kr[1:] == kr[:-1]))
     tie_stats = {"depth_bits": depth_bits, "tie_rate": ties,
-                 "n_visible": int(visible.sum())}
+                 "n_isects": n_real}
     print(tie_stats)
 
     md = f"""# QUALITY — measured evidence (round 2)
@@ -223,12 +237,13 @@ gsl_tpu/ops/rasterize_pallas.py).
 ## Depth-key quantization (VERDICT round-1 weak #7)
 
 At 1M gaussians / 1080p / 16px tiles the packed sort key keeps
-{tie_stats['depth_bits']} depth bits. Measured on the bench scene:
-{tie_stats['tie_rate'] * 100:.3f}% of adjacent sorted visible gaussians
-collide in quantized depth ({tie_stats['n_visible']} visible). Colliding
-pairs fall back to stable (submission-order) compositing — the same
-fallback CUDA radix sorting applies to exact float ties; at this rate the
-image impact is below the fast-mode bf16 noise floor measured above.
+{tie_stats['depth_bits']} depth bits. Measured on the bench scene with
+the REAL expand+sort: {tie_stats['tie_rate'] * 100:.4f}% of adjacent
+sorted slots collide on the full (tile|depth) key
+({tie_stats['n_isects']} intersections). Colliding pairs fall back to
+stable (submission-order) compositing — the same fallback CUDA radix
+sorting applies to exact float ties; at this rate the image impact is
+below the fast-mode bf16 noise floor measured above.
 """
     with open(args.out, "w") as f:
         f.write(md)
