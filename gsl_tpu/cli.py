@@ -209,6 +209,14 @@ def build_components(cfg: Dict):
         # SWAG (swag_model.py): appearance + per-image transient opacity
         if model_spec.get("swag") or cfg.get("swag"):
             extra_kwargs["with_opacity"] = True
+        # kNN feature-similarity regularization
+        # (appearance_feature_similarity_regularization_metrics.py)
+        sim_spec = model_spec.get("similarity_reg")
+        if sim_spec:
+            from .training.similarity_reg import SimilarityRegConfig
+            extra_kwargs["similarity_reg"] = _build(
+                SimilarityRegConfig,
+                sim_spec if isinstance(sim_spec, dict) else {})
         # Ha-NeRF-style per-pixel visibility maps
         # (gsplat_appearance_embedding_visibility_map_renderer.py)
         if model_spec.get("visibility_map") or cfg.get("visibility_map"):

@@ -35,3 +35,23 @@ def mean_sq_dist_to_knn(points: jnp.ndarray, k: int = 3,
 
     _, out = jax.lax.scan(body, None, pts.reshape(-1, chunk, 3))
     return out.reshape(-1)[:n]
+
+
+def knn_indices(queries: jnp.ndarray, points: jnp.ndarray, k: int,
+                chunk: int = 512):
+    """queries [M, 3] -> (idx [M, k], d2 [M, k]) nearest `points` rows
+    (pytorch3d knn_points analogue; chunked MXU distance matmuls)."""
+    m = queries.shape[0]
+    pad = (-m) % chunk
+    q_all = jnp.pad(queries, ((0, pad), (0, 0)))
+    sq = jnp.sum(points * points, axis=-1)
+
+    def body(_, q):
+        d2 = (jnp.sum(q * q, axis=-1)[:, None] + sq[None, :]
+              - 2.0 * (q @ points.T))
+        d2 = jnp.maximum(d2, 0.0)
+        neg_top, idx = jax.lax.top_k(-d2, k)
+        return None, (idx, -neg_top)
+
+    _, (idx, d2) = jax.lax.scan(body, None, q_all.reshape(-1, chunk, 3))
+    return (idx.reshape(-1, k)[:m], d2.reshape(-1, k)[:m])

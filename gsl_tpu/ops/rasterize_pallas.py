@@ -78,7 +78,9 @@ BIG_I32 = 2 ** 30          # python int: jnp constants would become tracers
 BIG_F32 = float(2 ** 30)
 EXPAND_BLOCK = 512         # slots per expand/reduce grid step
 WINDOW = 2 * EXPAND_BLOCK  # aligned gaussian-table window (>= BLOCK+1 + 511)
-RED_W = 5 * 128            # reduce-kernel gaussian window (>= BLOCK+1)
+RED_B = 512                # reduce-kernel slot block (256 measured slower:
+                           # grid overhead beats the halved one-hot matmul)
+RED_W = 5 * 128            # reduce-kernel gaussian window (>= RED_B + 8)
 TABLE_D = 16               # per-gaussian table lanes (11 + C, C <= 5)
 STREAM_BLOCK = 1024        # slots per fwd/bwd grid step (8 inner sub-chunks);
                            # amortizes per-grid-step DMA/launch overhead
@@ -767,7 +769,7 @@ def _reduce_kernel(
     sequential grid as the carry, so later blocks overwrite earlier rows
     with identical-or-more-complete sums — last write wins."""
     b = pl.program_id(0)
-    B = EXPAND_BLOCK
+    B = RED_B
     W = RED_W
     RW = RED_W // 8
     R_pad = TABLE_D
@@ -839,7 +841,7 @@ def _reduce_by_gid(dgeom, dcolor, gid_sorted, n, interpret, fast=False):
     they drive the densification statistics)."""
     R = 2 + dgeom.shape[0] + dcolor.shape[0]    # + the 2 recovered abs rows
     capacity = dgeom.shape[1]
-    B = EXPAND_BLOCK
+    B = RED_B
     RW = RED_W // 8
     n_blocks = capacity // B
     R_pad = TABLE_D

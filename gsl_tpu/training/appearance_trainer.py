@@ -49,8 +49,10 @@ class AppearanceTrainer(Trainer):
     def __init__(self, *args, n_appearances: int = 1024,
                  with_opacity: bool = False, is_view_dependent: bool = False,
                  appearance_opt: AppearanceOptimizationConfig = None,
+                 similarity_reg=None,
                  **kwargs):
         super().__init__(*args, **kwargs)
+        self.similarity_reg = similarity_reg
         self.appearance_opt = appearance_opt or AppearanceOptimizationConfig()
         self.net = AppearanceNetwork(
             n_appearances=n_appearances, with_opacity=with_opacity,

@@ -507,6 +507,16 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
         for _plugin in trainer.plugins:
             state = _plugin.after_step(state, step)
 
+        sim_cfg = getattr(trainer, "similarity_reg", None)
+        if (sim_cfg is not None and step >= sim_cfg.similarity_reg_from
+                and step % sim_cfg.similarity_reg_interval == 0):
+            if not hasattr(trainer, "_sim_reg_step"):
+                from .similarity_reg import make_similarity_reg_step
+                trainer._sim_reg_step = make_similarity_reg_step(
+                    sim_cfg, trainer.tx)
+            rng, k_sim = jax.random.split(rng)
+            state, _sim_loss = trainer._sim_reg_step(state, k_sim)
+
         if training_viewer is not None \
                 and step % training_viewer.pump_interval == 0:
             # fetching scalars syncs the device, so only at pump cadence

@@ -108,3 +108,48 @@ def test_appearance_density_clone_copies_features():
     alive = np.asarray(new_state.alive)
     clones = [i for i in range(80, 128) if alive[i] and feats[i, 0] == 7.0]
     assert len(clones) == 1
+
+
+def test_similarity_regularization_step():
+    """kNN feature-similarity reg pulls neighboring features together
+    (reference appearance_feature_similarity_regularization_metrics.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gsl_tpu.models.appearance import AppearanceFeatureGaussianConfig
+    from gsl_tpu.training.optimizers import build_gaussian_optimizer
+    from gsl_tpu.models.gaussian import OptimizationConfig
+    from gsl_tpu.training.similarity_reg import (SimilarityRegConfig,
+                                                 similarity_loss,
+                                                 make_similarity_reg_step)
+
+    rng = np.random.RandomState(0)
+    model = AppearanceFeatureGaussianConfig(sh_degree=0)
+    xyz = rng.rand(100, 3).astype(np.float32) * 0.1   # tight cluster
+    gs = model.init_from_pcd(xyz, rng.rand(100, 3).astype(np.float32), 128)
+    # random features -> dissimilar neighbors -> positive loss magnitude
+    feats = jnp.asarray(rng.randn(128, gs.params.appearance_features
+                                  .shape[-1]), jnp.float32)
+    gs = gs.replace(params=gs.params.replace(appearance_features=feats))
+    cfg = SimilarityRegConfig(n_appearance_samples=32, n_appearance_nn=4,
+                              distance_weight_decay=1.0)
+    l_rand = similarity_loss(cfg, gs.params.means, feats, gs.alive,
+                             jax.random.PRNGKey(0))
+    # identical features -> cosine similarity 1 -> strictly lower loss
+    ones = jnp.ones_like(feats)
+    l_same = similarity_loss(cfg, gs.params.means, ones, gs.alive,
+                             jax.random.PRNGKey(0))
+    assert float(l_same) < float(l_rand)
+
+    from gsl_tpu.training.trainer import TrainState
+    from gsl_tpu.training.density import init_density_state
+    tx = build_gaussian_optimizer(OptimizationConfig(), 1.0,
+                                  has_appearance_features=True)
+    state = TrainState(params=gs.params, alive=gs.alive,
+                       opt_state=tx.init(gs.params),
+                       density=init_density_state(128),
+                       step=jnp.asarray(0))
+    step = make_similarity_reg_step(cfg, tx)
+    s2, loss = step(state, jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(s2.params.appearance_features),
+                           np.asarray(feats))
