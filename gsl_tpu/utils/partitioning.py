@@ -83,9 +83,13 @@ def build_partitions(
     rotation: Optional[np.ndarray] = None,
     n_partitions_hint: int = 4,
     up_axis: int = 1,
+    cameras=None,                     # optional Cameras batch (len M)
 ) -> PartitionedScene:
-    """Grid by camera centers; assign cameras by enlarged-bbox location and
-    (if points given) by visible-point fraction distance heuristic."""
+    """Grid by camera centers; assign cameras by enlarged-bbox location
+    plus visibility. With full `cameras`, visibility is the reference's
+    point-projection test (partitioning_utils.py:740-868): a camera joins
+    a cell when >= visibility_threshold of the cell's sparse points
+    project inside its image; otherwise a center-distance proxy."""
     config = config or SceneConfig()
     rotation = rotation if rotation is not None else np.eye(3)
     xy = _project_xy(camera_centers, rotation, up_axis)
@@ -115,15 +119,42 @@ def build_partitions(
             (xy >= xy_min - enlarge) & (xy < xy_max + enlarge), axis=1)
         mask = in_box
         if pts_xy is not None:
-            # visibility proxy: cameras within vis_dist of the cell that see
-            # a fraction of the cell's points get assigned too
             cell_pts = np.all((pts_xy >= xy_min) & (pts_xy < xy_max),
                               axis=1)
             if cell_pts.sum() > 0:
-                center = (xy_min + xy_max) / 2.0
-                near = np.linalg.norm(xy - center, axis=1) <= (
-                    size / 2.0 + vis_dist)
-                mask = mask | near
+                if cameras is not None:
+                    # point-projection visibility: fraction of the cell's
+                    # points inside each camera's frustum
+                    # (reference cameras_point_based_visibilities)
+                    pts3d = points[cell_pts]
+                    # only consider cameras within the visibility range
+                    center = (xy_min + xy_max) / 2.0
+                    near = np.linalg.norm(xy - center, axis=1) <= (
+                        size / 2.0 + vis_dist)
+                    vis_frac = np.zeros(xy.shape[0])
+                    for m in np.nonzero(near)[0]:
+                        cam = cameras[int(m)]
+                        R = np.asarray(cam.R, np.float64)
+                        T = np.asarray(cam.T, np.float64)
+                        p_cam = pts3d @ R.T + T
+                        z = p_cam[:, 2]
+                        ok = z > 1e-3
+                        if ok.sum() == 0:
+                            continue
+                        u = (float(cam.fx) * p_cam[ok, 0] / z[ok]
+                             + float(cam.cx))
+                        v = (float(cam.fy) * p_cam[ok, 1] / z[ok]
+                             + float(cam.cy))
+                        inb = ((u >= 0) & (u < int(cam.width))
+                               & (v >= 0) & (v < int(cam.height)))
+                        vis_frac[m] = inb.sum() / pts3d.shape[0]
+                    mask = mask | (vis_frac >= config.visibility_threshold)
+                else:
+                    # center-distance proxy (no intrinsics available)
+                    center = (xy_min + xy_max) / 2.0
+                    near = np.linalg.norm(xy - center, axis=1) <= (
+                        size / 2.0 + vis_dist)
+                    mask = mask | near
         partitions.append(Partition(ij=cell, xy_min=xy_min, xy_max=xy_max,
                                     camera_mask=mask))
     return PartitionedScene(config=config, partitions=partitions,

@@ -45,7 +45,8 @@ def main():
         scene = PartitionedScene.load(part_file)
     else:
         scene = build_partitions(centers, outputs.point_cloud.xyz,
-                                 n_partitions_hint=args.n_partitions)
+                                 n_partitions_hint=args.n_partitions,
+                                 cameras=cams)
         scene.save(part_file)
     print(f"{len(scene.partitions)} partitions")
 
