@@ -72,6 +72,7 @@ def _register_extra():
     from .data.dataparsers.feature_3dgs import (
         Feature3DGSColmapDataParserConfig)
     from .data.dataparsers.silvr import SILVRDataParserConfig
+    from .models.pvg import PVGConfig, PVGRendererConfig
     _REGISTRY.update({
         "EstimatedDepthColmap": EstimatedDepthColmapDataParserConfig,
         "NSVF": NSVFDataParserConfig,
@@ -97,6 +98,8 @@ def _register_extra():
         "GNS": GNSDensityControllerConfig,
         "Feature3DGSColmap": Feature3DGSColmapDataParserConfig,
         "SILVR": SILVRDataParserConfig,
+        "PVG": PVGConfig,
+        "PVGRenderer": PVGRendererConfig,
     })
 
 

@@ -197,3 +197,19 @@ def test_deform_presets_train(tmp_path):
         net = state.extra["__deform__"]
         leaves = jax.tree.leaves(net.params)
         assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves), field
+
+
+def test_pvg_and_small_presets_train(tmp_path):
+    """pvg / stp / scale_reg / revising presets train from YAML."""
+    _make_dataset(str(tmp_path), n_views=4)
+    for preset in ("pvg.yaml", "stp.yaml", "scale_reg.yaml",
+                   "revising.yaml"):
+        ov = _base_overrides(tmp_path, preset.split(".")[0], 10)
+        if preset == "pvg.yaml":
+            # PVG renderer config subclass keeps the base overrides
+            ov["model"]["renderer"] = {
+                "class_path": "PVGRenderer",
+                "init_args": ov["model"]["renderer"]["init_args"]}
+        trainer, outputs, fit_cfg = _components(tmp_path, preset, ov)
+        state, _ = fit(trainer, outputs, fit_cfg, val_at_end=False)
+        assert int(state.gaussians.n_alive) > 0, preset
