@@ -17,3 +17,15 @@ Package name is the importable form of "gaussian-splatting-lightning_tpu".
 """
 
 __version__ = "0.1.0"
+
+# Platform escape hatch: the container's sitecustomize force-overwrites
+# JAX_PLATFORMS at interpreter start (so exporting it to a subprocess is
+# silently ignored). GSL_PLATFORM survives and wins here, before any jax
+# computation initializes a backend — tests set it to "cpu" so tool
+# subprocesses never touch (or hang on) the TPU tunnel.
+import os as _os
+
+if _os.environ.get("GSL_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["GSL_PLATFORM"])

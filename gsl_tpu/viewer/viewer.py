@@ -210,6 +210,14 @@ class Viewer:
                     self._ok(
                         f"{len(viewer.camera_path.keyframes)} keyframes"
                         .encode())
+                elif u.path == "/path/save":
+                    import json as _json
+                    q = parse_qs(u.query)
+                    out = q.get("file", ["camera_path.json"])[0]
+                    with open(out, "w") as f:
+                        _json.dump({"keyframes":
+                                    viewer.camera_path.keyframes}, f)
+                    self._ok(f"saved {out}".encode())
                 elif u.path == "/path/clear":
                     viewer.camera_path.clear()
                     self._ok(b"cleared")

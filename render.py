@@ -18,6 +18,9 @@ def main():
     ap.add_argument("--distance", type=float, default=6.0)
     ap.add_argument("--pitch", type=float, default=-15.0)
     ap.add_argument("--fps", type=int, default=30)
+    ap.add_argument("--keyframes", default=None,
+                    help="camera_path.json saved from the viewer's "
+                         "camera-path panel (interpolated orbit keyframes)")
     args = ap.parse_args()
 
     from PIL import Image
@@ -34,10 +37,20 @@ def main():
     out_dir = args.output or os.path.join(
         os.path.dirname(args.model_path.rstrip("/")) or ".", "video_frames")
     os.makedirs(out_dir, exist_ok=True)
+    if args.keyframes:
+        import json
+        from gsl_tpu.viewer.panels import CameraPath
+        cp = CameraPath()
+        with open(args.keyframes) as f:
+            cp.keyframes = [tuple(k) for k in json.load(f)["keyframes"]]
+        poses = cp.interpolate(args.n_frames)
+    else:
+        poses = [(360.0 * i / args.n_frames, args.pitch, args.distance)
+                 for i in range(args.n_frames)]
+
     frames = []
-    for i in range(args.n_frames):
-        yaw = 360.0 * i / args.n_frames
-        c2w = orbit_c2w(yaw, args.pitch, args.distance, target)
+    for i, (yaw, pitch, dist) in enumerate(poses):
+        c2w = orbit_c2w(yaw, pitch, dist, target)
         img = vr.get_outputs(c2w, args.size, args.size)
         Image.fromarray(img).save(os.path.join(out_dir, f"{i:05d}.png"))
         frames.append(img)

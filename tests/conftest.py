@@ -8,6 +8,9 @@ here (before any jax op runs) still lands us on the fast local CPU client.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# inherited by tool subprocesses; honored in gsl_tpu/__init__ (the
+# container's sitecustomize clobbers JAX_PLATFORMS there)
+os.environ["GSL_PLATFORM"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

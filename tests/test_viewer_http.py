@@ -96,3 +96,35 @@ def test_training_viewer_pump():
     frame = urllib.request.urlopen(f"{base}/frame", timeout=30).read()
     assert frame[:2] == b"\xff\xd8"  # JPEG
     tv.stop()
+
+
+def test_camera_path_save_and_render_playback(tmp_path):
+    """Camera-path keyframes persist to json and render.py plays them."""
+    import json, subprocess, sys, os
+    means, scales, quats, opac, colors = random_scene(60, 4)
+    state = VanillaGaussianConfig(sh_degree=0).init_from_pcd(
+        np.asarray(means), np.asarray(colors), capacity=64)
+    run = tmp_path / "run" / "point_cloud" / "iteration_1"
+    save_state_ply(str(run / "point_cloud.ply"), state)
+
+    v = Viewer(str(tmp_path / "run"), port=18995, image_size=24)
+    v.start(block=False)
+    time.sleep(0.4)
+    base = "http://127.0.0.1:18995"
+    urllib.request.urlopen(f"{base}/path/add?yaw=0&pitch=-10&dist=5",
+                           timeout=30)
+    urllib.request.urlopen(f"{base}/path/add?yaw=45&pitch=-20&dist=6",
+                           timeout=30)
+    kf = str(tmp_path / "camera_path.json")
+    urllib.request.urlopen(f"{base}/path/save?file={kf}", timeout=30)
+    assert len(json.load(open(kf))["keyframes"]) == 2
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "render.py", str(tmp_path / "run"),
+         "--keyframes", kf, "--n_frames", "4", "--size", "24",
+         "--output", str(tmp_path / "frames")],
+        capture_output=True, text=True, cwd=repo,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert os.path.isfile(str(tmp_path / "frames" / "00003.png"))
