@@ -245,6 +245,11 @@ def build_components(cfg: Dict):
             extra_kwargs["output_processor"] = _build(
                 BilateralGridConfig, op_spec)  # class_path resolved inside
 
+    # glossy gaussians: env light + metalness (models/glossy.py)
+    if model_spec.get("glossy") or cfg.get("glossy"):
+        from .training.glossy_trainer import GlossyTrainer
+        trainer_cls = GlossyTrainer
+
     # dynamic scenes: deformable / 4DGS hexplane field
     deform_spec = model_spec.get("deform") or cfg.get("deform")
     if deform_spec:

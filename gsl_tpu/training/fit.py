@@ -334,6 +334,8 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
     is_appearance = isinstance(trainer, AppearanceTrainer)
     from .deform_trainer import DeformTrainer
     is_deform = isinstance(trainer, DeformTrainer)
+    from .glossy_trainer import GlossyTrainer
+    is_glossy = isinstance(trainer, GlossyTrainer)
     grad_buffer = trainer.init_grad_buffer(state) if is_grad_acc else None
 
     # SpotLessSplats: robust-mask MLP + running error histogram ride in
@@ -476,6 +478,10 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
                 mask=jmask, isect_capacity=isect_capacity)
             if step == trainer.metrics_cfg.reset_sh:
                 state = reset_shs_rest(state)
+        elif is_glossy:
+            state, scalars = trainer.train_step_glossy(
+                state, cam, jnp.asarray(img), H, W, sh_degree, bg,
+                mask=jmask, isect_capacity=isect_capacity)
         elif is_deform:
             rng, k_d = jax.random.split(rng)
             state, scalars = trainer.train_step_deform(

@@ -213,3 +213,17 @@ def test_pvg_and_small_presets_train(tmp_path):
         trainer, outputs, fit_cfg = _components(tmp_path, preset, ov)
         state, _ = fit(trainer, outputs, fit_cfg, val_at_end=False)
         assert int(state.gaussians.n_alive) > 0, preset
+
+
+def test_glossy_preset_trains(tmp_path):
+    """Glossy preset: env map + metalness receive gradients."""
+    import jax
+    import numpy as _np
+    _make_dataset(str(tmp_path), n_views=4)
+    ov = _base_overrides(tmp_path, "glossy", 12)
+    trainer, outputs, fit_cfg = _components(tmp_path, "glossy.yaml", ov)
+    state, _ = fit(trainer, outputs, fit_cfg, val_at_end=False)
+    g = state.extra["__glossy__"]
+    assert _np.isfinite(_np.asarray(g.envmap)).all()
+    assert not _np.allclose(_np.asarray(g.metalness_raw), -3.0), \
+        "metalness never trained"
