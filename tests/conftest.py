@@ -19,3 +19,16 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """The full suite compiles hundreds of executables in one process; the
+    XLA CPU compiler has been observed to segfault near the end under that
+    accumulation. Dropping compiled-computation caches between modules
+    keeps the process well under the threshold."""
+    yield
+    jax.clear_caches()
