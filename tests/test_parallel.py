@@ -1,5 +1,6 @@
 """Gaussian-sharded + camera-DP training step on the 8-device CPU mesh:
 runs, and its loss/grads match a single-device reference computation."""
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -224,3 +225,66 @@ def test_mp_pallas_backend_matches_xla():
     np.testing.assert_allclose(np.asarray(jax.device_get(p_p.means)),
                                np.asarray(jax.device_get(p_x.means)),
                                rtol=1e-3, atol=1e-7)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_fit_distributed_loop(tmp_path):
+    """The distributed fit loop trains with densification on the sharded
+    state (the MPStrategy training-loop equivalent)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from gsl_tpu.models.gaussian import VanillaGaussianConfig
+    from gsl_tpu.parallel.fit_distributed import fit_distributed
+    from gsl_tpu.renderers.tile_renderer import TileRendererConfig
+    from gsl_tpu.training.density import VanillaDensityControllerConfig
+    from gsl_tpu.training.fit import FitConfig
+    from gsl_tpu.training.trainer import Trainer, TrainerConfig
+    from gsl_tpu.data.dataparsers.dataparser import (DataParserOutputs,
+                                                     ImageSet, PointCloud)
+    from gsl_tpu.data.cameras import make_camera
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    Hs = Ws = 32
+    names, paths, cam_list = [], [], []
+    for i in range(8):
+        name = f"i{i}.png"
+        p = str(tmp_path / name)
+        Image.fromarray((rng.rand(Hs, Ws, 3) * 255).astype(np.uint8)
+                        ).save(p)
+        names.append(name)
+        paths.append(p)
+        cam_list.append(make_camera(
+            R=np.eye(3), T=np.array([0.05 * i, 0., 3.]), fx=40., fy=40.,
+            cx=16., cy=16., width=Ws, height=Hs))
+    cams = jax.tree.map(lambda *xs: jnp.stack(
+        [jnp.asarray(x) for x in xs]), *cam_list)
+    outputs = DataParserOutputs(
+        train_set=ImageSet(image_names=names, image_paths=paths,
+                           cameras=cams),
+        val_set=None, test_set=None,
+        point_cloud=PointCloud(
+            xyz=rng.rand(200, 3).astype(np.float32) * 2 - 1,
+            rgb=rng.rand(200, 3).astype(np.float32)),
+        camera_extent=1.0)
+
+    trainer = Trainer(
+        model=VanillaGaussianConfig(sh_degree=0),
+        renderer=TileRendererConfig(min_isect_capacity=4096,
+                                    max_per_tile=256, chunk=32),
+        density=VanillaDensityControllerConfig(
+            densify_from_iter=2, densification_interval=5,
+            densify_until_iter=30, densify_grad_threshold=1e-9,
+            opacity_reset_interval=10000),
+        config=TrainerConfig())
+    mesh = make_mesh(8, dp=2, mp=4)
+    cfg = FitConfig(max_steps=12, output_dir=str(tmp_path / "out"),
+                    log_interval=6, save_ply=True, min_capacity=8192,
+                    save_iterations=[])
+    final = fit_distributed(trainer, outputs, cfg, mesh=mesh,
+                            backend="xla")
+    n = int(np.asarray(final.alive).sum())
+    assert n > 200, f"sharded densify never fired (n={n})"
+    assert os.path.isfile(str(
+        tmp_path / "out" / "point_cloud" / "iteration_12"
+        / "point_cloud.ply"))
