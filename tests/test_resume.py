@@ -75,3 +75,48 @@ def test_resume_never_starts_fresh(tmp_path):
     _run(str(tmp_path), str(tmp_path / "o"), 4, resume="never")
     st = _run(str(tmp_path), str(tmp_path / "o"), 4, resume="never")
     assert int(st.step) == 4
+
+
+def test_resume_with_deform_state(tmp_path):
+    """Checkpoint/resume round-trips variant network state in extra
+    (deform field params + Adam state)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_fit_e2e import _make_dataset
+    from gsl_tpu.cli import build_components, load_config
+    from gsl_tpu.training.fit import fit
+
+    _make_dataset(str(tmp_path), n_views=4)
+    ov = {
+        "data": {"parser": {"class_path": "Blender",
+                            "init_args": {"path": str(tmp_path),
+                                          "random_point_count": 200}}},
+        "model": {"gaussian": {"sh_degree": 0},
+                  "deform": {"field": "mlp", "init_args": {"warm_up": 2}},
+                  "renderer": {"init_args": {"max_per_tile": 256,
+                                             "chunk": 32,
+                                             "min_isect_capacity": 8192}}},
+        "fit": {"max_steps": 8, "output_dir": str(tmp_path / "out"),
+                "min_capacity": 1024, "save_iterations": [6],
+                "save_ply": False, "log_interval": 5, "resume": "auto"},
+        "trainer": {"max_steps": 8},
+    }
+    cfg = load_config([], ov)
+    trainer, dp_cfg, fit_cfg = build_components(cfg)
+    outputs = dp_cfg.instantiate().get_outputs()
+    state1, _ = fit(trainer, outputs, fit_cfg, val_at_end=False)
+    net1 = state1.extra["__deform__"]
+
+    # resume: continue to 12 from the step-6 checkpoint
+    cfg2 = load_config([], dict(ov, fit=dict(
+        ov["fit"], max_steps=12)))
+    trainer2, dp2, fit_cfg2 = build_components(cfg2)
+    outputs2 = dp2.instantiate().get_outputs()
+    state2, _ = fit(trainer2, outputs2, fit_cfg2, val_at_end=False)
+    assert int(state2.step) == 12
+    net2 = state2.extra["__deform__"]
+    import jax
+    l1 = jax.tree.leaves(net1.params)
+    l2 = jax.tree.leaves(net2.params)
+    assert len(l1) == len(l2)
+    assert all(np.isfinite(np.asarray(x)).all() for x in l2)
