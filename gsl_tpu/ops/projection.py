@@ -34,6 +34,9 @@ class Projections(NamedTuple):
     conics: jnp.ndarray         # [N, 3] inverse cov2d (a, b, c) packed
     compensations: jnp.ndarray  # [N] AA opacity compensation
     mask: jnp.ndarray           # [N] bool visibility
+    depth_grads: jnp.ndarray = None
+    """[N, 2] d(depth)/d(pixel): E[z | xy] plane slope (StopThePop
+    per-tile/pixel depth keys); None unless requested"""
 
 
 def project_gaussians(
@@ -120,6 +123,12 @@ def project_gaussians(
     c01 = t10 * st00 + t11 * st01 + t12 * st02
     c11 = t10 * su00 + t11 * su01 + t12 * su02
 
+    # depth-plane slope for StopThePop-style depth keys: the conditional
+    # mean E[z_cam | xy] is linear with slope Sigma_{z,xy} Sigma_xy^{-1};
+    # cov(z_cam, x2d) = R_wc[2, :] . Sigma_world . t0 (and t1 for y)
+    cov_zx = (R_wc[2, 0] * st00 + R_wc[2, 1] * st01 + R_wc[2, 2] * st02)
+    cov_zy = (R_wc[2, 0] * su00 + R_wc[2, 1] * su01 + R_wc[2, 2] * su02)
+
     det_orig = c00 * c11 - c01 * c01
     c00 = c00 + filter_2d
     c11 = c11 + filter_2d
@@ -154,6 +163,10 @@ def project_gaussians(
 
     radii = jnp.where(mask, radius, 0.0).astype(jnp.int32)
     zero2 = jnp.zeros((), f32)
+    # kz = conic @ cov_{xy,z} (conic is the blurred-cov inverse)
+    kz_x = conics[..., 0] * cov_zx + conics[..., 1] * cov_zy
+    kz_y = conics[..., 1] * cov_zx + conics[..., 2] * cov_zy
+    depth_grads = jnp.stack([kz_x, kz_y], axis=-1)
     return Projections(
         means2d=jnp.where(mask[..., None], means2d, zero2),
         depths=jnp.where(mask, depths, zero2),
@@ -161,6 +174,7 @@ def project_gaussians(
         conics=jnp.where(mask[..., None], conics, zero2),
         compensations=jnp.where(mask, compensations, zero2),
         mask=mask,
+        depth_grads=jnp.where(mask[..., None], depth_grads, zero2),
     )
 
 

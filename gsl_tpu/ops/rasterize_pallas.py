@@ -128,6 +128,7 @@ class PaddedIsects(NamedTuple):
     rect_miny: jnp.ndarray      # [N] i32
     rect_w_signed: jnp.ndarray  # [N] i32 (-1 marks a culled gaussian)
     depths: jnp.ndarray         # [N] f32 (stop-grad; sort key only)
+    depth_grads: jnp.ndarray    # [N, 2] f32 (stop-grad; StopThePop keys)
     n_isects: jnp.ndarray       # scalar i32 (real intersections, capped)
     n_dropped: jnp.ndarray      # scalar i32 (slots beyond capacity)
     total_padded: jnp.ndarray   # scalar i32 (expansion slots incl. dummies)
@@ -171,6 +172,10 @@ def isect_encode_padded(
                                 -1).astype(jnp.int32),
         depths=jax.lax.stop_gradient(
             projections.depths.astype(jnp.float32)),
+        depth_grads=jax.lax.stop_gradient(
+            projections.depth_grads.astype(jnp.float32)
+            if projections.depth_grads is not None
+            else jnp.zeros(rect_min.shape, jnp.float32)),
         n_isects=jnp.minimum(total_real, capacity).astype(jnp.int32),
         n_dropped=jnp.maximum(total - capacity, 0).astype(jnp.int32),
         total_padded=total.astype(jnp.int32),
@@ -187,7 +192,7 @@ def _expand_kernel(
     win0_ref, win1_ref,         # two aligned [EXPAND_BLOCK, TABLE_D] windows
     out_ref,                    # [TABLE_D, EXPAND_BLOCK]
     *, n_channels: int, tile_size: int, tiles_x: int, tiles_y: int,
-    depth_bits: int, tile_based_culling: bool,
+    depth_bits: int, tile_based_culling: bool, stp_resort: bool,
 ):
     b = pl.program_id(0)
     B = EXPAND_BLOCK
@@ -230,6 +235,19 @@ def _expand_kernel(
     t_y = jnp.minimum(rminy + local // w_use, tiles_y - 1)
     t_x = rminx + local % w_use
     tile = (t_y * tiles_x + t_x).astype(jnp.uint32)
+
+    if stp_resort:
+        # StopThePop hierarchical level 0: order within each tile by the
+        # depth PLANE evaluated at the tile center instead of the global
+        # center depth (stp_renderer.py per-tile depth sorting)
+        ts_f = jnp.float32(tile_size)
+        tcx = (t_x.astype(jnp.float32) + 0.5) * ts_f
+        tcy = (t_y.astype(jnp.float32) + 0.5) * ts_f
+        kzx = rowT[11 + n_channels:12 + n_channels, :]
+        kzy = rowT[12 + n_channels:13 + n_channels, :]
+        mx_c = rowT[5:6, :]
+        my_c = rowT[6:7, :]
+        depth = depth + kzx * (tcx - mx_c) + kzy * (tcy - my_c)
 
     dbits = lax.bitcast_convert_type(jnp.maximum(depth, 0.0), jnp.uint32)
     key = (tile << depth_bits) | (dbits >> (32 - depth_bits))
@@ -281,7 +299,8 @@ def _expand_kernel(
 
 def _expand_sorted(means2d, conics, opacities, channels, isects,
                    capacity, tile_size, tiles_x, tiles_y, depth_bits,
-                   tile_based_culling, interpret, fast=False):
+                   tile_based_culling, interpret, fast=False,
+                   stp_resort=False):
     """Build the per-gaussian table, expand to per-slot rows, sort by
     (tile | depth). Returns sorted (keys u32, gid f32, geom [8, cap],
     color [C, cap]). With `fast`, conic/opacity/color payload rides the
@@ -300,6 +319,10 @@ def _expand_sorted(means2d, conics, opacities, channels, isects,
             means2d[:, 0], means2d[:, 1],
             conics[:, 0], conics[:, 1], conics[:, 2],
             opacities] + [channels[:, i] for i in range(c)]
+    if stp_resort:
+        assert c <= TABLE_D - 13, \
+            "stp_resort needs 2 table lanes (<= 3 channels at TABLE_D=16)"
+        cols += [isects.depth_grads[:, 0], isects.depth_grads[:, 1]]
     cols += [jnp.zeros((n,), jnp.float32)] * (TABLE_D - len(cols))
     table = jnp.stack(cols, axis=1)                    # [N, TABLE_D]
     # pad rows so any aligned window fits; padding offsets = +inf so the
@@ -328,7 +351,7 @@ def _expand_sorted(means2d, conics, opacities, channels, isects,
         functools.partial(
             _expand_kernel, n_channels=c, tile_size=tile_size,
             tiles_x=tiles_x, tiles_y=tiles_y, depth_bits=depth_bits,
-            tile_based_culling=tile_based_culling),
+            tile_based_culling=tile_based_culling, stp_resort=stp_resort),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((TABLE_D, capacity), jnp.float32),
         interpret=interpret,
@@ -916,11 +939,12 @@ def _image_to_tiles(img, tiles_y, tiles_x, ts):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
 def rasterize_pallas(means2d, conics, opacities, channels, absgrad_tap,
                      isects, img_height, img_width, tile_size=16, chunk=128,
                      interpret=False, capacity=None,
-                     tile_based_culling=False, fast=False):
+                     tile_based_culling=False, fast=False,
+                     stp_resort=False):
     """Rasterize with the Pallas TPU kernels.
 
     Returns (channels_img [H, W, C] WITHOUT background blending,
@@ -936,7 +960,7 @@ def rasterize_pallas(means2d, conics, opacities, channels, absgrad_tap,
     """
     out, _ = _fwd_impl(means2d, conics, opacities, channels, isects,
                        img_height, img_width, tile_size, chunk, interpret,
-                       capacity, tile_based_culling, fast)
+                       capacity, tile_based_culling, fast, stp_resort)
     return out
 
 
@@ -948,7 +972,7 @@ def _resolve_capacity(n, capacity):
 
 def _fwd_impl(means2d, conics, opacities, channels, isects,
               img_height, img_width, tile_size, chunk, interpret,
-              capacity, tile_based_culling, fast=False):
+              capacity, tile_based_culling, fast=False, stp_resort=False):
     tiles_x = -(-img_width // tile_size)
     tiles_y = -(-img_height // tile_size)
     n_tiles = tiles_x * tiles_y
@@ -961,7 +985,7 @@ def _fwd_impl(means2d, conics, opacities, channels, isects,
         sorted_keys, gid_sorted, geom_s, color_s = _expand_sorted(
             means2d, conics, opacities, channels, isects, capacity,
             tile_size, tiles_x, tiles_y, depth_bits, tile_based_culling,
-            interpret, fast)
+            interpret, fast, stp_resort)
     with jax.named_scope("gs_schedule"):
         sched = _build_schedule(sorted_keys, n_tiles, depth_bits, capacity,
                                 STREAM_BLOCK)
@@ -989,15 +1013,18 @@ def _fwd_impl(means2d, conics, opacities, channels, isects,
 
 def _rasterize_fwd(means2d, conics, opacities, channels, absgrad_tap,
                    isects, img_height, img_width, tile_size, chunk,
-                   interpret, capacity, tile_based_culling, fast):
+                   interpret, capacity, tile_based_culling, fast,
+                   stp_resort):
     (out, alpha), res = _fwd_impl(
         means2d, conics, opacities, channels, isects, img_height, img_width,
-        tile_size, chunk, interpret, capacity, tile_based_culling, fast)
+        tile_size, chunk, interpret, capacity, tile_based_culling, fast,
+        stp_resort)
     return (out, alpha), res + (isects,)
 
 
 def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
-                   capacity, tile_based_culling, fast, res, cotangents):
+                   capacity, tile_based_culling, fast, stp_resort, res,
+                   cotangents):
     (geom_s, color_s, gid_sorted, sched, tfin_t, istop_t, n_real, n,
      isects) = res
     g_out, g_alpha = cotangents

@@ -65,6 +65,9 @@ class TileRendererConfig:
     fast_math: bool = True             # bf16-packed sort payloads + default
                                        # matmul precision in the fwd kernel
                                        # (set False for oracle-exact parity)
+    stp_resort: bool = False           # StopThePop per-tile depth keys:
+                                       # within-tile order by the depth
+                                       # plane at the tile center
 
     def instantiate(self) -> "TileRenderer":
         return TileRenderer(self)
@@ -186,7 +189,7 @@ class TileRenderer:
                     proj.means2d, proj.conics, opacities, ch, absgrad_tap,
                     isects_p, img_height, img_width, cfg.tile_size,
                     cfg.pallas_chunk, False, isect_capacity,
-                    cfg.tile_based_culling, cfg.fast_math)
+                    cfg.tile_based_culling, cfg.fast_math, cfg.stp_resort)
             img = img_nobg + (1.0 - alpha)[..., None] * bgv[None, None, :]
             n_isects, n_dropped = isects_p.n_isects, isects_p.n_dropped
         else:
@@ -211,7 +214,8 @@ class TileRenderer:
                     proj.means2d, proj.conics, hard_op, inv_d,
                     jnp.zeros_like(proj.means2d), isects_p, img_height,
                     img_width, cfg.tile_size, cfg.pallas_chunk, False,
-                    isect_capacity, cfg.tile_based_culling, cfg.fast_math)
+                    isect_capacity, cfg.tile_based_culling, cfg.fast_math,
+                    cfg.stp_resort)
             else:
                 hd_img, _ = rasterize_tiles(
                     proj.means2d, proj.conics, hard_op, inv_d, isects,

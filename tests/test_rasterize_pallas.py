@@ -166,3 +166,57 @@ def test_fast_mode_close_to_exact():
         denom = np.abs(np.asarray(a)).max() + 1e-6
         np.testing.assert_allclose(np.asarray(b) / denom,
                                    np.asarray(a) / denom, atol=0.03)
+
+
+def test_stp_per_tile_depth_keys_reorder():
+    """Two overlapping gaussians whose CENTER depth order contradicts the
+    depth-plane order at the tile center: stp_resort composites by the
+    corrected per-tile depth (matches the oracle with inputs swapped)."""
+    import jax.numpy as jnp
+    from gsl_tpu.ops.projection import Projections
+    from gsl_tpu.ops.rasterize_reference import rasterize_oracle
+
+    # one 16x16 tile; both gaussians near the tile center
+    H2 = W2 = 16
+    means2d = jnp.asarray([[7.0, 8.0], [9.0, 8.0]], jnp.float32)
+    conics = jnp.asarray([[0.08, 0.0, 0.08]] * 2, jnp.float32)
+    opac = jnp.asarray([0.9, 0.9], jnp.float32)
+    colors = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], jnp.float32)
+    # gaussian 0: nearer center depth but steep plane -> deeper at the
+    # tile center; gaussian 1: flat plane
+    depths = jnp.asarray([2.0, 2.05], jnp.float32)
+    kz = jnp.asarray([[2.0, 0.0], [0.0, 0.0]], jnp.float32)
+    # tile center x = 8.0 -> d0(tc) = 2.0 + 2.0*(8.0 - 7.0) = 4.0 > 2.05
+
+    proj = Projections(
+        means2d=means2d, depths=depths,
+        radii=jnp.asarray([8, 8], jnp.int32), conics=conics,
+        compensations=jnp.ones(2), mask=jnp.ones(2, bool),
+        depth_grads=kz)
+    isects = isect_encode_padded(proj, H2, W2, TS, capacity=1024)
+
+    def render(stp):
+        img, alpha = rasterize_pallas(
+            means2d, conics, opac, colors, jnp.zeros_like(means2d),
+            isects, H2, W2, TS, CHUNK, True, 1024, False, False, stp)
+        return img
+
+    img_plain = render(False)
+    img_stp = render(True)
+    assert not np.allclose(np.asarray(img_stp), np.asarray(img_plain)), \
+        "resort must change the compositing order in this scene"
+
+    # oracle composites in ascending `depths` order: feed it FAKE depths
+    # encoding the desired order to reproduce both images exactly
+    def oracle(fake_depths):
+        return rasterize_oracle(
+            means2d, conics, opac, colors,
+            jnp.asarray(fake_depths, jnp.float32), jnp.ones(2, bool),
+            H2, W2)[0]
+
+    np.testing.assert_allclose(np.asarray(img_stp),
+                               np.asarray(oracle([4.0, 2.05])), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(img_plain),
+                               np.asarray(oracle([2.0, 2.05])), rtol=1e-4,
+                               atol=1e-5)
