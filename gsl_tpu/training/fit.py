@@ -3,11 +3,16 @@
 
 Responsibilities of the reference Lightning stack reproduced here:
 - setup from DataParserOutputs (point-cloud init, camera extent LR scaling),
-- the per-step schedule: train_step -> density ops (vanilla ADC or MCMC) ->
-  SH-degree warmup -> model hooks (Mip-Splatting 3D filter recompute),
+- the per-step schedule: train_step -> density ops -> SH-degree warmup ->
+  periodic hooks (Mip 3D filter, similarity reg, LightGaussian prune),
 - checkpointing at save_iterations + train end; PLY export,
 - validation loop with PSNR/SSIM, per-image CSV + MEAN row
   (gaussian_splatting.py:546-572).
+
+Variant behavior (which train step runs, which density controller, which
+periodic work) is resolved ONCE by `hooks.build_hooks` — the loop body here
+is variant-free, mirroring the reference's hook-registry composition
+(gaussian_splatting.py:113-117).
 """
 from __future__ import annotations
 
@@ -26,14 +31,12 @@ from ..data.dataset import CachedDataset, DataLoader
 from ..models.gaussian import VanillaGaussianConfig, GaussianState
 from ..models.mip_splatting import MipSplattingConfig, compute_3d_filter
 from ..ops.ssim import ssim as ssim_fn
-from ..training.mcmc import (MCMCDensityControllerConfig, mcmc_densify,
-                             mcmc_noise_step)
 from ..training.trainer import Trainer, TrainState
 from ..utils.checkpoint import (find_latest_checkpoint, load_checkpoint,
                                 load_checkpoint_meta, save_checkpoint)
 from ..utils.ply import save_state_ply
+from .hooks import FitContext, build_hooks
 from .metrics import psnr as psnr_fn
-from .schedulers import exponential_decay
 
 
 @dataclasses.dataclass
@@ -85,21 +88,10 @@ def _round_capacity(n: int) -> int:
     return cap
 
 
-def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
-        val_at_end: bool = True):
-    if cfg.resume not in ("auto", "never", "", None) \
-            and not os.path.isdir(cfg.resume):
-        # fail fast: an explicit path that does not exist should not cost
-        # the user minutes of TPU compile before erroring
-        raise FileNotFoundError(
-            f"fit.resume checkpoint not found: {cfg.resume}")
-    os.makedirs(cfg.output_dir, exist_ok=True)
-    if cfg.matmul_precision:
-        jax.config.update("jax_default_matmul_precision",
-                          cfg.matmul_precision)
-    rng = jax.random.PRNGKey(cfg.seed)
-
-    # ---- init model from point cloud ----
+def _init_gaussians(trainer: Trainer, outputs: DataParserOutputs,
+                    cfg: FitConfig):
+    """Point-cloud (or init_from artifact) initialization + optional
+    background sphere + Mip-Splatting 3D filter."""
     pc = outputs.point_cloud
     if cfg.add_background_sphere:
         from ..data.dataset import add_background_sphere
@@ -144,93 +136,76 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
         print(f"[fit] init_from {cfg.init_from}: {n_loaded} gaussians, "
               f"capacity {capacity}")
 
-    is_mip = isinstance(trainer.model, MipSplattingConfig)
-    train_cams = outputs.train_set.cameras
-    if is_mip:
+    if isinstance(trainer.model, MipSplattingConfig):
         f3d = compute_3d_filter(gaussians.params.means, gaussians.alive,
-                                train_cams)
+                                outputs.train_set.cameras)
         gaussians = GaussianState(params=gaussians.params,
                                   alive=gaussians.alive,
                                   extra={"filter_3d": f3d})
+    return gaussians, pc
 
+
+def _make_viewer(trainer: Trainer, outputs: DataParserOutputs,
+                 cfg: FitConfig, bg):
+    """In-training web viewer + its orbit-camera render closure."""
+    from ..viewer.training_viewer import TrainingViewer
+    from ..viewer.viewer import orbit_c2w
+    from ..data.cameras import make_camera
+    viewer = TrainingViewer(port=cfg.viewer_port).start()
+    target = np.stack([
+        np.asarray(outputs.train_set.cameras[i].camera_center)
+        for i in range(len(outputs.train_set))]).mean(0)
+
+    def render_fn(st, sh_d):
+        def render(yaw, pitch, dist):
+            S = viewer.image_size
+            c2w = orbit_c2w(yaw, pitch, dist, target)
+            w2c = np.linalg.inv(c2w)
+            f = 0.5 * S / np.tan(np.deg2rad(30.0))
+            cam = make_camera(R=w2c[:3, :3], T=w2c[:3, 3], fx=f, fy=f,
+                              cx=S / 2, cy=S / 2, width=S, height=S)
+            out = trainer.renderer.forward(st.gaussians, cam, S, S, bg,
+                                           sh_d)
+            return (np.clip(np.asarray(out.render), 0, 1)
+                    * 255).astype(np.uint8)
+        return render
+
+    return viewer, render_fn
+
+
+def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
+        val_at_end: bool = True):
+    if cfg.resume not in ("auto", "never", "", None) \
+            and not os.path.isdir(cfg.resume):
+        # fail fast: an explicit path that does not exist should not cost
+        # the user minutes of TPU compile before erroring
+        raise FileNotFoundError(
+            f"fit.resume checkpoint not found: {cfg.resume}")
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    if cfg.matmul_precision:
+        jax.config.update("jax_default_matmul_precision",
+                          cfg.matmul_precision)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    gaussians, pc = _init_gaussians(trainer, outputs, cfg)
     state = trainer.setup(gaussians, outputs.camera_extent,
                           outputs.prune_extent)
     if trainer.output_processor is not None:
         state = trainer.init_output_processor(state,
                                               len(outputs.train_set))
+
+    bg = jnp.asarray(trainer.config.background_color, jnp.float32)
+    dataset = CachedDataset(outputs.train_set,
+                            background=np.asarray(bg, np.float32))
     name_to_idx = {n: i for i, n in
                    enumerate(outputs.train_set.image_names)}
-    is_mcmc = isinstance(trainer.density_cfg, MCMCDensityControllerConfig)
-    from .density import (BackgroundRemovalDensityControllerConfig,
-                          StaticDensityControllerConfig,
-                          background_removal_step)
-    is_static_dc = isinstance(trainer.density_cfg,
-                              StaticDensityControllerConfig)
-    from .gns import (GNSController, GNSDensityControllerConfig,
-                      edge_weighted_blend_scores, final_budget_prune,
-                      gns_budget_at, gns_densify, make_gns_step,
-                      prune_by_opacity)
-    is_gns = isinstance(trainer.density_cfg, GNSDensityControllerConfig)
-    if is_gns:
-        gns_cfg = trainer.density_cfg
-        gns_ctl = GNSController(gns_cfg)
-        gns_step = make_gns_step(trainer, gns_cfg)
-        gns_n_alive = int(state.gaussians.n_alive)
-
-        def _gns_densify(st, key, step):
-            nonlocal gns_n_alive
-            from .taming import get_edges
-            d = gns_cfg
-            if d.edge_aware:
-                n_cams = min(d.n_sample_cameras, len(outputs.train_set))
-                sel = np.random.RandomState(step).permutation(
-                    len(outputs.train_set))[:n_cams]
-                cams_s, edges = [], []
-                for i in sel:
-                    cam_i, _, img_i, _ = dataset.get(int(i))
-                    cams_s.append(cam_i)
-                    edges.append(get_edges(jnp.asarray(img_i)))
-                importance = edge_weighted_blend_scores(
-                    trainer.renderer, st.gaussians, cams_s, edges, bg,
-                    trainer.sh_degree_at(step))
-            else:
-                importance = jnp.where(
-                    st.density.denom > 0,
-                    st.density.grad_accum
-                    / jnp.maximum(st.density.denom, 1.0), 0.0)
-            budget = jnp.asarray(gns_budget_at(d, step), jnp.int32)
-            gstate, opt_state, dstate, n_trunc = gns_densify(
-                key, st.gaussians, st.opt_state, st.density, d,
-                importance, budget)
-            if int(n_trunc) > 0:
-                st2 = trainer.grow_state(st, 2 * st.params.capacity)
-                pad = jnp.zeros((st2.params.capacity
-                                 - importance.shape[0],), jnp.float32)
-                gstate, opt_state, dstate, _ = gns_densify(
-                    key, st2.gaussians, st2.opt_state, st2.density, d,
-                    jnp.concatenate([importance, pad]), budget)
-            st = st.replace(params=gstate.params, alive=gstate.alive,
-                            opt_state=opt_state, density=dstate,
-                            extra=gstate.extra)
-            gns_n_alive = int(gstate.n_alive)
-            return st
-    bg_removal_cfg = (trainer.density_cfg if isinstance(
-        trainer.density_cfg, BackgroundRemovalDensityControllerConfig)
-        else None)
-    if bg_removal_cfg is not None:
-        cam_centers = np.stack([
-            np.asarray(outputs.train_set.cameras[i].camera_center)
-            for i in range(len(outputs.train_set))])
-        br_center = cam_centers.mean(0)
-        br_radius = (np.linalg.norm(cam_centers - br_center, axis=-1).max()
-                     * bg_removal_cfg.foreground_radius_scaling)
-    means_lr_sched = exponential_decay(
-        lr_init=trainer.model.optimization.means_lr_init
-        * trainer.cameras_extent,
-        lr_final=trainer.model.optimization.means_lr_init
-        * trainer.model.optimization.means_lr_final_factor
-        * trainer.cameras_extent,
-        max_steps=trainer.model.optimization.means_lr_max_steps)
+    ctx = FitContext(trainer=trainer, outputs=outputs, dataset=dataset,
+                     cfg=cfg, bg=bg, name_to_idx=name_to_idx)
+    step_hook, density_hook, pre_density, post_density = build_hooks(
+        ctx, int(state.gaussians.n_alive))
+    # variant state (SpotLess MLP/histogram, grad-acc buffers) is injected
+    # BEFORE resume so the checkpoint template matches the saved tree
+    state, rng = step_hook.init_state(state, rng)
 
     # adaptive tile-intersection capacity: start tight, grow 2x whenever the
     # binning reports drops (bucketed-recompile policy, SURVEY.md hard part 2)
@@ -260,9 +235,6 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
     if start_step > cfg.max_steps:
         print("[fit] checkpoint already at max_steps; nothing to train")
 
-    bg = jnp.asarray(trainer.config.background_color, jnp.float32)
-    dataset = CachedDataset(outputs.train_set,
-                            background=np.asarray(bg, np.float32))
     loader = iter(DataLoader(dataset, seed=cfg.seed, skip=start_step - 1))
 
     tb_writer = None
@@ -275,156 +247,16 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
 
     training_viewer = None
     if cfg.viewer:
-        from ..viewer.training_viewer import TrainingViewer
-        from ..viewer.viewer import orbit_c2w
-        from ..data.cameras import make_camera
-        training_viewer = TrainingViewer(port=cfg.viewer_port).start()
-        _tv_target = np.stack([
-            np.asarray(outputs.train_set.cameras[i].camera_center)
-            for i in range(len(outputs.train_set))]).mean(0)
-
-        def _tv_render_fn(st, sh_d):
-            def render(yaw, pitch, dist):
-                S = training_viewer.image_size
-                c2w = orbit_c2w(yaw, pitch, dist, _tv_target)
-                w2c = np.linalg.inv(c2w)
-                f = 0.5 * S / np.tan(np.deg2rad(30.0))
-                cam = make_camera(R=w2c[:3, :3], T=w2c[:3, 3], fx=f, fy=f,
-                                  cx=S / 2, cy=S / 2, width=S, height=S)
-                out = trainer.renderer.forward(
-                    st.gaussians, cam, S, S, bg, sh_d)
-                return (np.clip(np.asarray(out.render), 0, 1)
-                        * 255).astype(np.uint8)
-            return render
-
+        training_viewer, tv_render_fn = _make_viewer(trainer, outputs, cfg,
+                                                     bg)
         # warm the viewer render's jit cache so the first client request
         # does not stall the train loop for a full compile
         try:
-            _tv_render_fn(state, trainer.sh_degree_at(start_step))(0.0,
-                                                                   -15.0,
-                                                                   6.0)
+            tv_render_fn(state, trainer.sh_degree_at(start_step))(0.0,
+                                                                  -15.0,
+                                                                  6.0)
         except Exception as e:
             print(f"[fit] viewer warmup render failed: {e}")
-
-    log_path = os.path.join(cfg.output_dir, "train_log.csv")
-    log_f = open(log_path, "a" if start_step > 1 else "w", newline="")
-    logger = csv.writer(log_f)
-    if start_step == 1:
-        logger.writerow(["step", "loss", "n_gaussians", "steps_per_s"])
-
-    t_last = time.perf_counter()
-    mcmc_cfg = trainer.density_cfg if is_mcmc else None
-
-    @jax.jit
-    def _mcmc_density(state: TrainState, key):
-        gstate, opt_state, n_new = mcmc_densify(
-            key, state.gaussians, state.opt_state, mcmc_cfg)
-        return state.replace(params=gstate.params, alive=gstate.alive,
-                             opt_state=opt_state, extra=gstate.extra), n_new
-
-    @jax.jit
-    def _mcmc_noise(state: TrainState, key, lr):
-        gstate = mcmc_noise_step(key, state.gaussians, lr,
-                                 mcmc_cfg.noise_lr if mcmc_cfg else 5e5)
-        return state.replace(params=gstate.params)
-
-    from .opt_strategies import GradAccTrainer
-    from .appearance_trainer import AppearanceTrainer
-    is_grad_acc = isinstance(trainer, GradAccTrainer)
-    is_appearance = isinstance(trainer, AppearanceTrainer)
-    from .deform_trainer import DeformTrainer
-    is_deform = isinstance(trainer, DeformTrainer)
-    from .glossy_trainer import GlossyTrainer
-    is_glossy = isinstance(trainer, GlossyTrainer)
-    grad_buffer = trainer.init_grad_buffer(state) if is_grad_acc else None
-
-    # SpotLessSplats: robust-mask MLP + running error histogram ride in
-    # state.extra; SD features load lazily per image name
-    from .spotless import (SpotLessMetricsConfig, init_spotless_state,
-                           make_spotless_step, reset_shs_rest)
-    is_spotless = isinstance(trainer.metrics_cfg, SpotLessMetricsConfig)
-    spotless_step = None
-    sd_feature_cache = {}
-    if is_spotless:
-        sls_cfg = trainer.metrics_cfg
-        if "__spotless__" not in (state.extra or {}):
-            rng, k_sls = jax.random.split(rng)
-            state = state.replace(
-                extra=dict(state.extra or {},
-                           __spotless__=init_spotless_state(
-                               k_sls, sls_cfg)))
-        spotless_step = make_spotless_step(trainer, sls_cfg)
-        sd_paths = (outputs.train_set.extra_data or {}).get(
-            "sd_feature_paths")
-        sd_by_name = (dict(zip(outputs.train_set.image_names, sd_paths))
-                      if sd_paths else {})
-
-        def load_sd_feature(name, H, W):
-            if name not in sd_feature_cache:
-                path = sd_by_name.get(name)
-                if path and os.path.isfile(path):
-                    feat = np.load(path).astype(np.float32)
-                else:
-                    # no features: single uniform channel (mask MLP then
-                    # learns from positional encodings alone)
-                    feat = np.zeros((sls_cfg.n_feature_dims, 50, 50),
-                                    np.float32)
-                sd_feature_cache[name] = jnp.asarray(feat)
-            return sd_feature_cache[name]
-
-    # Taming 3DGS: precompute the quadratic count-budget curve from the
-    # INITIAL gaussian count (reference taming_3dgs_density_controller.py:376)
-    from .taming import (Taming3DGSDensityControllerConfig,
-                         compute_gaussian_scores, get_count_array,
-                         taming_densify)
-    is_taming = isinstance(trainer.density_cfg,
-                           Taming3DGSDensityControllerConfig)
-    taming_budgets = None
-    if is_taming:
-        d = trainer.density_cfg
-        taming_budgets = get_count_array(
-            int(state.gaussians.n_alive), d.budget, d.densify_until_iter,
-            d.densify_from_iter, d.densification_interval, d.mode)
-
-    def taming_density_round(state, key, step):
-        """One budgeted densify round; grows capacity when the budget
-        exceeds free slots (same retry discipline as vanilla)."""
-        d = trainer.density_cfg
-        round_i = (step - d.densify_from_iter) // d.densification_interval
-        budget = taming_budgets[min(max(round_i, 0),
-                                    len(taming_budgets) - 1)]
-        n_cams = min(d.n_score_cameras, len(outputs.train_set))
-        sel = np.linspace(0, len(outputs.train_set) - 1, n_cams).astype(int)
-        cams_s, gts = [], []
-        for i in sel:
-            cam_i, _, img_i, _ = dataset.get(int(i))
-            cams_s.append(cam_i)
-            gts.append(img_i)
-        grads = jnp.where(state.density.denom > 0,
-                          state.density.grad_accum
-                          / jnp.maximum(state.density.denom, 1.0), 0.0)
-        scores = compute_gaussian_scores(
-            trainer.renderer, state.gaussians, cams_s, gts, grads, bg,
-            trainer.sh_degree_at(step), d.score_coeffs,
-            lambda_dssim=trainer.metrics_cfg.lambda_dssim)
-        use_size_prune = jnp.asarray(step > d.opacity_reset_interval)
-
-        def one_pass(st, sc):
-            gstate, opt_state, dstate, n_trunc = taming_densify(
-                key, st.gaussians, st.opt_state, st.density, d, sc,
-                budget, trainer.cameras_extent, trainer.prune_extent,
-                use_size_prune)
-            return st.replace(params=gstate.params, alive=gstate.alive,
-                              opt_state=opt_state, density=dstate,
-                              extra=gstate.extra), n_trunc
-
-        new_state, n_trunc = one_pass(state, scores)
-        if int(n_trunc) > 0:
-            grown = trainer.grow_state(state, 2 * state.params.capacity)
-            pad = jnp.zeros((grown.params.capacity - scores.shape[0],),
-                            scores.dtype)
-            new_state, _ = one_pass(grown, jnp.concatenate([scores, pad]))
-        return new_state
 
     def bucketed(img, img_mask=None):
         """pad HWC image to the size bucket; returns (img, mask|None).
@@ -447,153 +279,54 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
                 "rng": np.asarray(rng).tolist(),
                 "isect_capacity": int(isect_capacity)}
 
+    def save_at(step):
+        save_checkpoint(os.path.join(cfg.output_dir, "checkpoints"), state,
+                        step, meta=ckpt_meta())
+        if cfg.save_ply:
+            save_state_ply(os.path.join(
+                cfg.output_dir, "point_cloud",
+                f"iteration_{step}", "point_cloud.ply"), state.gaussians)
+
+    log_path = os.path.join(cfg.output_dir, "train_log.csv")
+    log_f = open(log_path, "a" if start_step > 1 else "w", newline="")
+    logger = csv.writer(log_f)
+    if start_step == 1:
+        logger.writerow(["step", "loss", "n_gaussians", "steps_per_s"])
+    t_last = time.perf_counter()
+
     for step in range(start_step, cfg.max_steps + 1):
         cam, name, img, img_mask = next(loader)
         img, mask = bucketed(img, img_mask)
         H, W = img.shape[:2]
         sh_degree = trainer.sh_degree_at(step)
         jmask = None if mask is None else jnp.asarray(mask)
-        if is_gns:
-            d = gns_cfg
-            in_phase = gns_ctl.in_reg_phase(step, gns_n_alive)
-            if in_phase and (step - 1) % 100 == 0:
-                ops_sorted = np.sort(np.asarray(jax.nn.sigmoid(
-                    state.params.opacities[:, 0])[state.alive
-                                                  ].reshape(-1)))
-                gns_ctl.update_reg_weight(step, ops_sorted, gns_n_alive)
-            state, scalars = gns_step(
-                state, cam, jnp.asarray(img), H, W, sh_degree, bg,
-                jnp.asarray(gns_ctl.reg_weight if in_phase else 0.0,
-                            jnp.float32),
-                jnp.asarray(step < d.opacity_reg_from
-                            + d.opacity_reg_prior_free_steps),
-                jnp.asarray(gns_ctl.opacity_update_factor(
-                    step, gns_n_alive), jnp.float32),
-                mask=jmask, isect_capacity=isect_capacity)
-        elif is_spotless:
-            rng, k_step = jax.random.split(rng)
-            state, scalars = spotless_step(
-                state, cam, jnp.asarray(img),
-                load_sd_feature(name, H, W), bg, k_step, H, W, sh_degree,
-                mask=jmask, isect_capacity=isect_capacity)
-            if step == trainer.metrics_cfg.reset_sh:
-                state = reset_shs_rest(state)
-        elif is_glossy:
-            state, scalars = trainer.train_step_glossy(
-                state, cam, jnp.asarray(img), H, W, sh_degree, bg,
-                mask=jmask, isect_capacity=isect_capacity)
-        elif is_deform:
-            rng, k_d = jax.random.split(rng)
-            state, scalars = trainer.train_step_deform(
-                state, cam, jnp.asarray(img), H, W, sh_degree, bg,
-                warm_up=step < trainer.deform_cfg.warm_up, key=k_d,
-                mask=jmask, isect_capacity=isect_capacity)
-        elif is_appearance:
-            state, scalars = trainer.train_step_appearance(
-                state, cam, jnp.asarray(img), H, W, sh_degree, bg,
-                warm_up=step < trainer.appearance_opt.warm_up,
-                mask=jmask, isect_capacity=isect_capacity)
-        elif is_grad_acc:
-            k = trainer.grad_acc.accumulation_at(step)
-            state, grad_buffer, scalars = trainer.train_step_accumulate(
-                state, grad_buffer, cam, jnp.asarray(img), H, W, sh_degree,
-                bg, apply=(step % k == 0), inv_k=1.0 / k, mask=jmask,
-                isect_capacity=isect_capacity)
-        else:
-            state, scalars = trainer.train_step(
-                state, cam, jnp.asarray(img), H, W, sh_degree, bg,
-                mask=jmask, isect_capacity=isect_capacity,
-                image_idx=jnp.asarray(name_to_idx.get(name, 0), jnp.int32))
+        rng, k_step, k1, k2, k_p = jax.random.split(rng, 5)
+
+        state, scalars = step_hook(
+            state, k_step, step, sh_degree, cam, name, jnp.asarray(img),
+            jmask, H, W, isect_capacity)
         if step % 50 == 0 and int(scalars["n_dropped_isects"]) > 0:
             # 1.5x growth (512-aligned): sort/binning cost is linear in the
             # slot capacity, so over-provisioning is paid on every step
             isect_capacity = -(-int(isect_capacity * 1.5) // 512) * 512
             print(f"[fit] isect capacity -> {isect_capacity}")
 
-        for _plugin in trainer.plugins:
-            state = _plugin.after_step(state, step)
-
-        sim_cfg = getattr(trainer, "similarity_reg", None)
-        if (sim_cfg is not None and step >= sim_cfg.similarity_reg_from
-                and step % sim_cfg.similarity_reg_interval == 0):
-            if not hasattr(trainer, "_sim_reg_step"):
-                from .similarity_reg import make_similarity_reg_step
-                trainer._sim_reg_step = make_similarity_reg_step(
-                    sim_cfg, trainer.tx)
-            rng, k_sim = jax.random.split(rng)
-            state, _sim_loss = trainer._sim_reg_step(state, k_sim)
+        for plugin in trainer.plugins:
+            state = plugin.after_step(state, step)
+        for hook in pre_density:
+            state = hook.periodic(state, k_p, step)
 
         if training_viewer is not None \
                 and step % training_viewer.pump_interval == 0:
             # fetching scalars syncs the device, so only at pump cadence
             training_viewer.pump(
-                step, _tv_render_fn(state, sh_degree),
+                step, tv_render_fn(state, sh_degree),
                 {"loss": float(scalars["loss"]),
                  "n_gaussians": int(state.gaussians.n_alive)})
 
-        rng, k1, k2 = jax.random.split(rng, 3)
-        if is_mcmc:
-            d = mcmc_cfg
-            if (d.densify_from_iter < step < d.densify_until_iter
-                    and step % d.densification_interval == 0):
-                state, _ = _mcmc_density(state, k1)
-            if step < cfg.max_steps:
-                state = _mcmc_noise(state, k2,
-                                    means_lr_sched(jnp.asarray(step)))
-        elif is_taming:
-            d = trainer.density_cfg
-            if (d.densify_from_iter < step < d.densify_until_iter
-                    and step % d.densification_interval == 0):
-                state = taming_density_round(state, k1, step)
-            if (step < d.densify_until_iter
-                    and step % d.opacity_reset_interval == 0):
-                state = trainer.opacity_reset_step(state)
-        elif is_gns:
-            d = gns_cfg
-            if (d.densify_from_iter < step < d.densify_until_iter
-                    and step % d.densification_interval == 0):
-                state = _gns_densify(state, k1, step)
-            # natural-selection phase pruning + final budget prune
-            if gns_ctl.in_reg_phase(step, gns_n_alive):
-                near_budget = (step != d.opacity_reg_from
-                               and gns_n_alive < d.budget * 1.05)
-                if near_budget or step == d.opacity_reg_until:
-                    gstate, opt2 = final_budget_prune(
-                        k2, state.gaussians, state.opt_state, d.budget)
-                    state = state.replace(alive=gstate.alive,
-                                          opt_state=opt2)
-                    gns_n_alive = int(gstate.n_alive)
-                    gns_ctl.final_pruned = True
-                    gns_ctl.prune_step = step
-                    print(f"[fit] GNS final prune at {step} -> "
-                          f"{gns_n_alive}")
-                elif (step % d.opacity_reg_interval == 0
-                      and step >= d.opacity_reg_from + 1000):
-                    gstate, opt2, n_p = prune_by_opacity(
-                        state.gaussians, state.opt_state,
-                        d.natural_selection_min_opacity)
-                    state = state.replace(alive=gstate.alive,
-                                          opt_state=opt2)
-                    gns_n_alive = int(gstate.n_alive)
-        elif is_static_dc:
-            pass                       # static controller: no density ops
-        else:
-            if (bg_removal_cfg is not None
-                    and bg_removal_cfg.background_removal_from < step
-                    < bg_removal_cfg.densify_until_iter
-                    and step % bg_removal_cfg.densification_interval == 0):
-                gs2 = background_removal_step(state.gaussians, br_center,
-                                              br_radius)
-                state = state.replace(params=gs2.params)
-            state = trainer.maybe_density_ops(state, k1, step)
-
-        # Mip-Splatting 3D filter recompute (mip_splatting.py:50-63)
-        if is_mip and step % trainer.model.filter_3d_update_interval == 0 \
-                and step + trainer.model.filter_3d_update_interval \
-                <= cfg.max_steps:
-            f3d = compute_3d_filter(state.params.means, state.alive,
-                                    train_cams)
-            state = state.replace(extra={"filter_3d": f3d})
+        state = density_hook(state, k1, k2, step)
+        for hook in post_density:
+            state = hook.periodic(state, k_p, step)
 
         if step % cfg.log_interval == 0:
             dt = time.perf_counter() - t_last
@@ -607,51 +340,12 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
                                      step)
                 tb_writer.add_scalar("train/n_gaussians", n_g, step)
 
-        if step in cfg.lg_prune_steps:
-            # LightGaussian importance pruning
-            from .light_gaussian import (accumulate_blend_weights,
-                                         prune_by_importance)
-            n_prunes_done = sum(1 for s2 in cfg.lg_prune_steps if s2 < step)
-            pct = cfg.lg_prune_percent * (cfg.lg_prune_decay
-                                          ** n_prunes_done)
-            sample = [outputs.train_set.cameras[i] for i in
-                      np.linspace(0, len(outputs.train_set) - 1,
-                                  min(cfg.lg_n_cameras,
-                                      len(outputs.train_set))).astype(int)]
-            gstate = state.gaussians
-
-            def render_fn(gs, camera, bias):
-                out = trainer.renderer.forward(
-                    gs, camera, int(camera.height), int(camera.width), bg,
-                    trainer.sh_degree_at(step),
-                    rgbs_override=trainer.renderer.get_rgbs(
-                        gs, camera, trainer.sh_degree_at(step))
-                    + bias[:, None])
-                return out.render
-
-            imp = accumulate_blend_weights(render_fn, gstate, sample)
-            gstate, opt_state2, n_pruned = prune_by_importance(
-                gstate, state.opt_state, imp, pct)
-            state = state.replace(alive=gstate.alive, opt_state=opt_state2)
-            print(f"[fit] LightGaussian pruned {int(n_pruned)} at {step}")
-
         if step in cfg.save_iterations:
-            save_checkpoint(os.path.join(cfg.output_dir, "checkpoints"),
-                            state, step, meta=ckpt_meta())
-            if cfg.save_ply:
-                save_state_ply(os.path.join(
-                    cfg.output_dir, "point_cloud",
-                    f"iteration_{step}", "point_cloud.ply"),
-                    state.gaussians)
+            save_at(step)
 
-    if cfg.max_steps not in cfg.save_iterations and start_step <= cfg.max_steps:
-        save_checkpoint(os.path.join(cfg.output_dir, "checkpoints"), state,
-                        cfg.max_steps, meta=ckpt_meta())
-        if cfg.save_ply:
-            save_state_ply(os.path.join(
-                cfg.output_dir, "point_cloud",
-                f"iteration_{cfg.max_steps}", "point_cloud.ply"),
-                state.gaussians)
+    if cfg.max_steps not in cfg.save_iterations \
+            and start_step <= cfg.max_steps:
+        save_at(cfg.max_steps)
     log_f.close()
 
     results = None
@@ -676,6 +370,9 @@ def validate(trainer: Trainer, state: TrainState,
         os.makedirs(img_dir, exist_ok=True)
     from ..ops.lpips import get_lpips_fn
     lpips_fn = get_lpips_fn()
+    if lpips_fn is None:
+        print("[validate] lpips unavailable (no exported weights); "
+              "lpips column will be empty")
     for i in range(len(dataset)):
         cam, name, img, img_mask = dataset.get(i)
         H, W = img.shape[:2]
@@ -696,7 +393,7 @@ def validate(trainer: Trainer, state: TrainState,
         s = float(ssim_fn(gt.transpose(2, 0, 1),
                           render.transpose(2, 0, 1)))
         lp = (float(lpips_fn(render, gt))
-              if lpips_fn is not None else float("nan"))
+              if lpips_fn is not None else None)
         rows.append([name, psnr, s, lp])
         if save_images:
             from PIL import Image
@@ -708,13 +405,18 @@ def validate(trainer: Trainer, state: TrainState,
     metrics_dir = os.path.join(cfg.output_dir, "metrics")
     os.makedirs(metrics_dir, exist_ok=True)
     csv_path = os.path.join(metrics_dir, f"{split}.csv")
+    have_lpips = lpips_fn is not None
     with open(csv_path, "w", newline="") as f:
         wr = csv.writer(f)
-        wr.writerow(["name", "psnr", "ssim", "lpips"])
-        wr.writerows(rows)
+        wr.writerow(["name", "psnr", "ssim",
+                     "lpips" if have_lpips else "lpips(unavailable)"])
+        wr.writerows([[r[0], r[1], r[2], r[3] if have_lpips else ""]
+                      for r in rows])
         mean_psnr = float(np.mean([r[1] for r in rows]))
         mean_ssim = float(np.mean([r[2] for r in rows]))
-        mean_lpips = float(np.mean([r[3] for r in rows]))
-        wr.writerow(["MEAN", mean_psnr, mean_ssim, mean_lpips])
+        mean_lpips = (float(np.mean([r[3] for r in rows]))
+                      if have_lpips else float("nan"))
+        wr.writerow(["MEAN", mean_psnr, mean_ssim,
+                     mean_lpips if have_lpips else ""])
     return {"psnr": mean_psnr, "ssim": mean_ssim, "lpips": mean_lpips,
             "csv": csv_path}

@@ -137,7 +137,7 @@ class Trainer:
                 gaussians.params.appearance_features is not None),
             has_pvg=(gaussians.params.t_centers is not None))
         opt_state = self.tx.init(gaussians.params)
-        return TrainState(
+        state = TrainState(
             params=gaussians.params,
             alive=gaussians.alive,
             opt_state=opt_state,
@@ -145,6 +145,9 @@ class Trainer:
             step=jnp.zeros((), jnp.int32),
             extra=gaussians.extra,
         )
+        for plugin in self.plugins:
+            state = plugin.on_setup(state)
+        return state
 
     # ---- loss computation (override point for variant trainers) ----
     def render_losses(self, gstate, camera, img_height, img_width, bg_color,
@@ -183,7 +186,8 @@ class Trainer:
                     jnp.exp(params.scales)
                     * gstate.alive[:, None]) / (3.0 * n_alive)
         for plugin in self.plugins:
-            term, sc = plugin.extra_loss(out, gt_image, mask, gstate, step)
+            term, sc = plugin.extra_loss(out, gt_image, mask, gstate, step,
+                                         camera=camera)
             loss = loss + term
             scalars = dict(scalars, **sc)
         return loss, (scalars, out.radii, out.n_dropped)
@@ -325,16 +329,19 @@ class Trainer:
                 prev = state
                 state, n_trunc = self.density_step(state, key,
                                                    use_size_prune)
-                if int(n_trunc) > 0:
+                tries = 0
+                while int(n_trunc) > 0 and tries < 3:
                     # capacity exhausted: grow 2x from the PRE-densify
                     # snapshot and redo the pass so the truncated children
                     # of this round are not silently dropped
-                    state = self.grow_state(prev, 2 * prev.params.capacity)
-                    state, n_trunc = self.density_step(state, key,
+                    prev = self.grow_state(prev, 2 * prev.params.capacity)
+                    state, n_trunc = self.density_step(prev, key,
                                                        use_size_prune)
-                    if int(n_trunc) > 0:  # pathological single round
-                        state = self.grow_state(
-                            state, 2 * state.params.capacity)
+                    tries += 1
+                if int(n_trunc) > 0:  # pathological single round
+                    print(f"[trainer] densify at step {step} still "
+                          f"truncating {int(n_trunc)} after {tries} "
+                          f"capacity growths")
             white_bg = all(c == 1.0 for c in self.config.background_color)
             if (step % cfg.opacity_reset_interval == 0
                     or (white_bg and step == cfg.densify_from_iter)):
