@@ -86,6 +86,19 @@ def fit_distributed(trainer: Trainer, outputs: DataParserOutputs,
     densify_j = jax.jit(lambda k, gs, o, d, sz: densify_and_prune(
         k, gs, o, d, d_cfg, trainer.cameras_extent, trainer.prune_extent,
         sz))
+
+    def grow_sharded(params, alive, opt_state, density, new_cap):
+        """2x capacity growth on the sharded state: pad via the trainer's
+        moment-carrying grow, then re-place on the mesh (same discipline as
+        the single-device grow-and-redo in Trainer.maybe_density_ops)."""
+        st = TrainState(params=params, alive=alive, opt_state=opt_state,
+                        density=density, step=jnp.zeros((), jnp.int32))
+        st = trainer.grow_state(st, new_cap)
+        p, a, o = shard_params(mesh, st.params, st.alive, st.opt_state)
+        d = jax.tree.map(
+            lambda x: jax.device_put(x, dshard) if isinstance(
+                x, jnp.ndarray) and x.ndim >= 1 else x, st.density)
+        return p, a, o, d
     n_train = len(outputs.train_set)
     order = np.random.RandomState(cfg.seed).permutation(n_train)
     pos = 0
@@ -109,11 +122,29 @@ def fit_distributed(trainer: Trainer, outputs: DataParserOutputs,
         if (d_cfg.densify_from_iter < step_i < d_cfg.densify_until_iter
                 and step_i % d_cfg.densification_interval == 0):
             rng, k = jax.random.split(rng)
+            use_size = jnp.asarray(step_i > d_cfg.opacity_reset_interval)
+            snap = (params, alive, opt_state, density)
             gstate, opt_state, density, n_trunc = densify_j(
                 k, GaussianState(params=params, alive=alive),
-                opt_state, density,
-                jnp.asarray(step_i > d_cfg.opacity_reset_interval))
+                opt_state, density, use_size)
             params, alive = gstate.params, gstate.alive
+            tries = 0
+            while int(n_trunc) > 0 and tries < 3:
+                # capacity exhausted: grow 2x from the pre-densify snapshot
+                # and redo so truncated children are not silently dropped
+                capacity *= 2
+                snap = grow_sharded(*snap, capacity)
+                params, alive, opt_state, density = snap
+                steps.clear()  # compiled steps bake in the isect capacity
+                gstate, opt_state, density, n_trunc = densify_j(
+                    k, GaussianState(params=params, alive=alive),
+                    opt_state, density, use_size)
+                params, alive = gstate.params, gstate.alive
+                tries += 1
+                print(f"[fit_mp] capacity -> {capacity} at step {step_i}")
+            if int(n_trunc) > 0:
+                print(f"[fit_mp] densify at step {step_i} still truncating "
+                      f"{int(n_trunc)} after {tries} growths")
         if (step_i < d_cfg.densify_until_iter
                 and step_i % d_cfg.opacity_reset_interval == 0):
             gstate, opt_state = reset_opacities(

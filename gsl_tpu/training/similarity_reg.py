@@ -45,6 +45,10 @@ def similarity_loss(cfg: SimilarityRegConfig, means, features, alive,
                     jnp.float32(1e6) + jnp.arange(cap, dtype=jnp.float32
                                                   )[:, None])
     sample = jax.random.choice(key, cap, (n_s,), replace=False)
+    # kNN + distance weights carry no gradient (reference computes them
+    # under torch.no_grad(), appearance_feature_similarity_regularization_
+    # metrics.py:65-77) — only the features are regularized
+    far = jax.lax.stop_gradient(far)
     idx, d2 = knn_indices(far[sample], far, cfg.n_appearance_nn)
     w = jnp.exp(-cfg.distance_weight_decay * d2)          # [S, K]
     feats = features[idx]                                  # [S, K, D]
@@ -65,7 +69,17 @@ def similarity_loss(cfg: SimilarityRegConfig, means, features, alive,
 
 def make_similarity_reg_step(cfg: SimilarityRegConfig, tx):
     """Standalone jitted step applying the regularizer's gradient to the
-    appearance features through the gaussian optimizer."""
+    appearance features through the gaussian optimizer.
+
+    Only the `appearance_features` leaf is touched: a naive tx.update with
+    zero grads elsewhere would still decay every other leaf's Adam moments
+    (mu *= b1) and advance its schedule count — a dynamics perturbation the
+    reference's separate manual_backward does not have. The update is
+    masked to the target leaf and the optimizer state of every other
+    multi_transform label is restored afterwards (keeping the per-row Adam
+    moments inside the MAIN optimizer state so densification surgery still
+    maintains them)."""
+    from jax.tree_util import tree_map_with_path
 
     @jax.jit
     def step(state, key):
@@ -75,8 +89,19 @@ def make_similarity_reg_step(cfg: SimilarityRegConfig, tx):
                                    state.alive, key)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree.map(lambda a, u: a + u, state.params, updates)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        masked = jax.tree.map(jnp.zeros_like, updates)
+        masked = masked.replace(
+            appearance_features=updates.appearance_features)
+        params = jax.tree.map(lambda a, u: a + u, state.params, masked)
+
+        def restore(path, new_leaf, old_leaf):
+            names = [str(getattr(k, "key", getattr(k, "name", "")))
+                     for k in path]
+            return (new_leaf if "appearance_features" in names
+                    else old_leaf)
+
+        opt_state = tree_map_with_path(restore, new_opt, state.opt_state)
         return state.replace(params=params, opt_state=opt_state), loss
 
     return step

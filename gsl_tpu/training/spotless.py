@@ -131,6 +131,11 @@ def make_spotless_step(trainer: Trainer, cfg: SpotLessMetricsConfig):
             render = out.render
             err3 = jnp.abs(render - gt_image)
             err = jax.lax.stop_gradient(jnp.mean(err3, -1))
+            if mask is not None:
+                # padded/masked pixels compare rendered content against a
+                # zero GT, producing fake errors — exclude them from the
+                # histogram and robust-mask supervision
+                err = err * mask
 
             sf = jax.image.resize(sd_feature, (sd_feature.shape[0], mh, mw),
                                   "bilinear")
@@ -141,8 +146,12 @@ def make_spotless_step(trainer: Trainer, cfg: SpotLessMetricsConfig):
 
             lower_m = robust_mask(err, lower_thr)
             upper_m = robust_mask(err, upper_thr)
-            mlp_loss = jnp.mean(jax.nn.relu(pred - upper_m)
-                                + jax.nn.relu(lower_m - pred))
+            sup = jax.nn.relu(pred - upper_m) + jax.nn.relu(lower_m - pred)
+            if mask is not None:
+                mlp_loss = jnp.sum(sup * mask) / jnp.maximum(
+                    jnp.sum(mask), 1.0)
+            else:
+                mlp_loss = jnp.mean(sup)
             mlp_loss = mlp_loss + 0.5 * (jnp.max(jnp.abs(mlp["w1"]))
                                          * jnp.max(jnp.abs(mlp["w2"])))
 
@@ -191,11 +200,13 @@ def make_spotless_step(trainer: Trainer, cfg: SpotLessMetricsConfig):
                                              sls["mlp"])
         mlp = jax.tree.map(lambda p, u: p + u, sls["mlp"], mlp_updates)
 
-        # running error histogram (0.95 decay, densify window only)
+        # running error histogram (0.95 decay, densify window only);
+        # padded pixels contribute weight 0 so they cannot skew quantiles
         idx = jnp.clip((err * cfg.bin_size).astype(jnp.int32), 0,
                        cfg.bin_size - 1)
+        hist_w = (jnp.ones_like(err) if mask is None else mask).reshape(-1)
         hist_add = jnp.zeros((cfg.bin_size,), jnp.float32).at[
-            idx.reshape(-1)].add(1.0)
+            idx.reshape(-1)].add(hist_w)
         update_hist = state.step < cfg.densify_until_iter
         hist = jnp.where(update_hist, 0.95 * sls["hist"] + hist_add,
                          sls["hist"])
