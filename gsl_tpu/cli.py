@@ -222,10 +222,17 @@ def build_components(cfg: Dict):
                 sim_spec if isinstance(sim_spec, dict) else {})
         # Ha-NeRF-style per-pixel visibility maps
         # (gsplat_appearance_embedding_visibility_map_renderer.py)
-        if model_spec.get("visibility_map") or cfg.get("visibility_map"):
+        vis_spec = model_spec.get("visibility_map") or cfg.get(
+            "visibility_map")
+        if vis_spec:
             from .training.visibility_map_trainer import (
                 VisibilityMapAppearanceTrainer)
             trainer_cls = VisibilityMapAppearanceTrainer
+            if isinstance(vis_spec, dict):
+                # e.g. {grid_type: hash} selects the multi-res hash
+                # encoding (tcnn HashGrid analogue) over dense 2D grids
+                if "grid_type" in vis_spec:
+                    extra_kwargs["grid_type"] = vis_spec["grid_type"]
     # output processors: shorthand names or class_path
     # (reference configs/bilagrid*.yaml -> internal/output_processors/)
     op_spec = model_spec.get("output_processor") or cfg.get(

@@ -59,6 +59,101 @@ class DenseGrid2DEncoding(nn.Module):
         return jnp.concatenate(outs, axis=-1)
 
 
+def _hash_level_resolutions(n_levels: int, base_resolution: int,
+                            max_resolution: int) -> List[int]:
+    """tcnn growth rule: exp-spaced from base to max resolution
+    (/root/reference/internal/configs/tcnn_encoding_config.py:60-66)."""
+    if n_levels <= 1:
+        return [base_resolution]
+    growth = np.exp((np.log(max_resolution) - np.log(base_resolution))
+                    / (n_levels - 1))
+    return [int(np.floor(base_resolution * growth ** lv))
+            for lv in range(n_levels)]
+
+
+# the spatial hashing primes of Teschner et al., as used by instant-ngp /
+# tcnn HashGrid (the first coordinate is left unmultiplied)
+_HASH_PRIMES = (1, 2654435761, 805459861)
+
+
+def hash_grid_lookup(table: jnp.ndarray, x: jnp.ndarray, res: int,
+                     hashmap_size: int) -> jnp.ndarray:
+    """One level of multi-res hash encoding: d-linear interpolation of
+    hashed corner features.
+
+    table [T, F]; x [..., d] in [0, 1]; returns [..., F].
+    When the dense vertex grid fits in the table ((res+1)^d <= T) indexing
+    is dense (collision-free), matching tcnn's behavior for coarse levels;
+    otherwise corners are hashed with the instant-ngp XOR-prime scheme.
+    """
+    d = x.shape[-1]
+    pos = jnp.clip(x, 0.0, 1.0) * res
+    p0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res - 1)
+    frac = pos - p0
+    n_vertices = (res + 1) ** d
+    dense = n_vertices <= hashmap_size
+
+    # corner offsets [2^d, d]
+    corners = np.stack(np.meshgrid(*([np.arange(2)] * d),
+                                   indexing="ij"), -1).reshape(-1, d)
+    feats = 0.0
+    for c in corners:
+        pc = p0 + jnp.asarray(c, jnp.int32)           # [..., d]
+        if dense:
+            idx = pc[..., 0]
+            for i in range(1, d):
+                idx = idx * (res + 1) + pc[..., i]
+        else:
+            idx = pc[..., 0] * _HASH_PRIMES[0]
+            for i in range(1, d):
+                idx = idx ^ (pc[..., i] * np.int32(
+                    np.uint32(_HASH_PRIMES[i]).astype(np.int32)))
+            idx = jnp.remainder(idx, hashmap_size)
+        w = jnp.ones(x.shape[:-1], x.dtype)
+        for i in range(d):
+            w = w * jnp.where(c[i] == 1, frac[..., i], 1.0 - frac[..., i])
+        feats = feats + w[..., None] * table[idx]
+    return feats
+
+
+class HashGridEncoding(nn.Module):
+    """Multi-resolution hash encoding (instant-ngp), the tcnn `HashGrid`
+    analogue (/root/reference/internal/configs/tcnn_encoding_config.py:37-50,
+    used by internal/models/swag_model.py:16 and the visibility-map
+    appearance renderer).
+
+    Pure-JAX: the per-level table gathers + d-linear lerp are XLA gathers
+    the compiler fuses; tables are Flax params so they train through the
+    standard optimizer path. x in [0, 1]^d -> [..., n_levels * n_features].
+    """
+
+    n_input_dims: int = 3
+    n_levels: int = 8
+    n_features_per_level: int = 4
+    log2_hashmap_size: int = 19
+    base_resolution: int = 16
+    max_resolution: int = 2048
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_levels * self.n_features_per_level
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        resolutions = _hash_level_resolutions(
+            self.n_levels, self.base_resolution, self.max_resolution)
+        T = 1 << self.log2_hashmap_size
+        outs = []
+        for lv, res in enumerate(resolutions):
+            size = min(T, (res + 1) ** self.n_input_dims)
+            table = self.param(
+                f"table_{lv}",
+                nn.initializers.uniform(scale=1e-4),
+                (size, self.n_features_per_level))
+            outs.append(hash_grid_lookup(table, x, res, size))
+        return jnp.concatenate(outs, axis=-1)
+
+
 class SkipMLP(nn.Module):
     """ReLU MLP with optional skip connections + output activation — the
     network_factory.get_network_with_skip_layers analogue

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import optax
 
 from ..data.cameras import Cameras
-from ..models.encodings import DenseGrid2DEncoding, SkipMLP
+from ..models.encodings import (DenseGrid2DEncoding, HashGridEncoding,
+                                SkipMLP)
 from ..models.gaussian import GaussianState
 from .appearance_trainer import AppearanceNetState, AppearanceTrainer
 from .metrics import train_loss
@@ -38,13 +39,33 @@ class VisibilityNetwork(nn.Module):
     per_level_scale: float = 2.0
     n_layers: int = 3
     n_neurons: int = 64
+    grid_type: str = "dense"             # "dense" | "hash"
+    log2_hashmap_size: int = 19
+    max_resolution: int = 2048
 
     @nn.compact
     def __call__(self, uv: jnp.ndarray, image_idx) -> jnp.ndarray:
-        enc = DenseGrid2DEncoding(
-            n_levels=self.n_levels, base_resolution=self.base_resolution,
-            per_level_scale=self.per_level_scale,
-            n_instances=self.n_images)(uv, image_idx)
+        if self.grid_type == "hash":
+            # hash grids don't replicate per image (the table would be
+            # n_images x 2^19 rows); instead the image index becomes a
+            # third input coordinate, the instant-ngp trick for per-frame
+            # conditioning (reference tcnn HashGrid path,
+            # configs/tcnn_encoding_config.py:37-50)
+            idx_n = (image_idx.astype(jnp.float32) + 0.5) / self.n_images
+            x3 = jnp.concatenate(
+                [uv, jnp.broadcast_to(idx_n, uv.shape[:-1])[..., None]],
+                axis=-1)
+            enc = HashGridEncoding(
+                n_input_dims=3, n_levels=self.n_levels,
+                base_resolution=self.base_resolution,
+                log2_hashmap_size=self.log2_hashmap_size,
+                max_resolution=self.max_resolution)(x3)
+        else:
+            enc = DenseGrid2DEncoding(
+                n_levels=self.n_levels,
+                base_resolution=self.base_resolution,
+                per_level_scale=self.per_level_scale,
+                n_instances=self.n_images)(uv, image_idx)
         emb = nn.Embed(self.n_images,
                        self.n_transient_embedding_dims)(image_idx)
         emb = jnp.broadcast_to(emb[None, :],
@@ -64,10 +85,12 @@ class VisibilityMapAppearanceTrainer(AppearanceTrainer):
     """AppearanceTrainer + learned per-pixel visibility gating."""
 
     def __init__(self, *args, vis_reg_factor: float = 0.2,
-                 vis_lr: float = 1e-3, n_images: int = 1024, **kwargs):
+                 vis_lr: float = 1e-3, n_images: int = 1024,
+                 grid_type: str = "dense", **kwargs):
         super().__init__(*args, **kwargs)
         self.vis_reg_factor = vis_reg_factor
-        self.vis_net = VisibilityNetwork(n_images=n_images)
+        self.vis_net = VisibilityNetwork(n_images=n_images,
+                                         grid_type=grid_type)
         self.vis_tx = optax.adam(vis_lr)
 
     def setup(self, gaussians, cameras_extent, prune_extent=None):
