@@ -49,3 +49,35 @@ def build_cov3d(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
     R = quat_to_rotmat(quats)
     M = R * scales[..., None, :]  # R @ diag(s)
     return M @ jnp.swapaxes(M, -1, -2)
+
+
+def depth_to_normal(depth: jnp.ndarray, world_to_camera: jnp.ndarray,
+                    fx, fy, cx, cy) -> jnp.ndarray:
+    """Estimate world-space normals from an expected-depth map.
+
+    Parity with gsplat.utils.depth_to_normal as used by the reference
+    normal-regularization metric (/root/reference/internal/metrics/
+    normal_reg.py:29-35) and the 2DGS renderer's depths->points->cross
+    recipe (/root/reference/internal/renderers/
+    vanilla_2dgs_renderer.py:164-175): unproject each pixel to a
+    camera-space point, rotate to world, take the normalized cross product
+    of central differences. The one-pixel border is zero.
+
+    depth [H, W]; world_to_camera [4, 4] column-vector convention
+    (p_cam = R @ p_world + t, as produced by Cameras.world_to_camera).
+    Returns [H, W, 3].
+    """
+    H, W = depth.shape
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=depth.dtype),
+                          jnp.arange(W, dtype=depth.dtype), indexing="ij")
+    x = (xs + 0.5 - cx) / fx * depth
+    y = (ys + 0.5 - cy) / fy * depth
+    pts_cam = jnp.stack([x, y, depth], axis=-1)            # [H, W, 3]
+    # rotate to world: p_world_dir = R^T @ p_cam_dir, row form: cam @ R
+    R = world_to_camera[:3, :3]
+    pts = pts_cam @ R
+    dx = pts[2:, 1:-1] - pts[:-2, 1:-1]
+    dy = pts[1:-1, 2:] - pts[1:-1, :-2]
+    n = jnp.cross(dx, dy)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    return jnp.zeros((H, W, 3), depth.dtype).at[1:-1, 1:-1].set(n)

@@ -40,6 +40,7 @@ class RenderOutputs(NamedTuple):
     exp_depth: Optional[jnp.ndarray]       # [H, W] acc_depth / alpha
     inverse_depth: Optional[jnp.ndarray]   # [H, W] blended 1/z
     hard_inverse_depth: Optional[jnp.ndarray]  # [H, W]
+    normal: Optional[jnp.ndarray]          # [H, W, 3] blended world normals
     projections: Projections
     radii: jnp.ndarray                     # [CAP] int32 (visibility filter)
     n_isects: jnp.ndarray
@@ -169,6 +170,21 @@ class TileRenderer:
             bg.append(jnp.zeros(1, rgbs.dtype))
             idx["inverse_depth"] = c
             c += 1
+        if "normal" in render_types:
+            # per-gaussian normal = local z axis (third rotation column),
+            # flipped to face the camera (reference
+            # gsplat_v1_renderer.py:251-261)
+            from ..ops.transforms import normalize_quat, quat_to_rotmat
+            Rg = quat_to_rotmat(normalize_quat(gaussians.get_rotations()))
+            normals = Rg[:, :, 2]
+            dirs = jax.lax.stop_gradient(
+                self.get_means(gaussians, camera)) - camera.camera_center
+            away = jnp.sum(normals * dirs, axis=-1) > 0.0
+            normals = normals * jnp.where(away, -1.0, 1.0)[:, None]
+            channels.append(normals)
+            bg.append(jnp.zeros(3, rgbs.dtype))
+            idx["normal"] = c
+            c += 3
 
         ch = jnp.concatenate(channels, axis=-1)
         bgv = jnp.concatenate(bg, axis=-1)
@@ -238,6 +254,8 @@ class TileRenderer:
             exp_depth=exp_depth,
             inverse_depth=inverse_depth,
             hard_inverse_depth=hard_inv,
+            normal=(img[..., idx["normal"]:idx["normal"] + 3]
+                    if "normal" in idx else None),
             projections=proj,
             radii=proj.radii,
             n_isects=n_isects,
@@ -256,6 +274,8 @@ class TileRenderer:
                                                 RendererOutputType.GRAY),
             "hard_inverse_depth": RendererOutputInfo(
                 "hard_inverse_depth", RendererOutputType.GRAY),
+            "normal": RendererOutputInfo("normal",
+                                         RendererOutputType.NORMAL_MAP),
         }
 
 
