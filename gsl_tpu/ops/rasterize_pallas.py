@@ -84,6 +84,10 @@ RED_W = 5 * 128            # reduce-kernel gaussian window (>= RED_B + 8)
 TABLE_D = 16               # per-gaussian table lanes (11 + C, C <= 5)
 STREAM_BLOCK = 1024        # slots per fwd/bwd grid step (8 inner sub-chunks);
                            # amortizes per-grid-step DMA/launch overhead
+STP_WINDOW = 16            # StopThePop per-pixel resort window (exact
+                           # within-window ordering; global key order across
+                           # windows — the same locality class as CUDA STP's
+                           # hierarchical resort window)
 
 
 def _pack2(a, b):
@@ -236,6 +240,7 @@ def _expand_kernel(
     t_x = rminx + local % w_use
     tile = (t_y * tiles_x + t_x).astype(jnp.uint32)
 
+    depth_c = depth
     if stp_resort:
         # StopThePop hierarchical level 0: order within each tile by the
         # depth PLANE evaluated at the tile center instead of the global
@@ -289,12 +294,21 @@ def _expand_kernel(
     gid = jnp.float32(base_g) + g_local                 # float gaussian id
 
     # per-row writes (Mosaic-friendly; no sublane concat/transpose)
-    pad_rows = TABLE_D - (8 + n_channels)
     out_ref[0:1, :] = lax.bitcast_convert_type(key, jnp.float32)
     out_ref[1:2, :] = gid
     out_ref[2:8 + n_channels, :] = rowT[5:11 + n_channels, :]  # mx my a b c op ch..
+    base_rows = 8 + n_channels
+    if stp_resort:
+        # per-pixel resort inputs: the ORIGINAL center depth + the depth
+        # plane slopes, so the fwd/bwd kernels can evaluate E[z | xy] at
+        # every pixel (d_p = depth + kz . (p - mean2d))
+        out_ref[base_rows:base_rows + 1, :] = depth_c
+        out_ref[base_rows + 1:base_rows + 2, :] = kzx
+        out_ref[base_rows + 2:base_rows + 3, :] = kzy
+        base_rows += 3
+    pad_rows = TABLE_D - base_rows
     if pad_rows:
-        out_ref[8 + n_channels:, :] = jnp.zeros((pad_rows, B), jnp.float32)
+        out_ref[base_rows:, :] = jnp.zeros((pad_rows, B), jnp.float32)
 
 
 def _expand_sorted(means2d, conics, opacities, channels, isects,
@@ -358,28 +372,47 @@ def _expand_sorted(means2d, conics, opacities, channels, isects,
     )(glo_blk, total[None].astype(jnp.int32), table, table)
 
     key = lax.bitcast_convert_type(rows[0], jnp.uint32)
+    stp_rows = None
     if fast:
         payload = ([rows[1], rows[2], rows[3]]          # gid, mx, my (f32)
                    + _pack_rows([rows[i] for i in range(4, 8 + c)]))
+        if stp_resort:
+            # +2 operands, STP mode only: depth stays f32 (ordering
+            # precision); the two plane slopes pack as a bf16 pair
+            payload += [rows[8 + c], _pack2(rows[9 + c], rows[10 + c])]
         sorted_ops = lax.sort((key,) + tuple(payload), num_keys=1,
                               is_stable=True)
         sorted_keys = sorted_ops[0]
         gid_sorted = sorted_ops[1]
-        tail = _unpack_rows(sorted_ops[4:], 4 + c)      # a b c op ch..
+        n_packed = (4 + c + 1) // 2
+        tail = _unpack_rows(sorted_ops[4:4 + n_packed], 4 + c)  # a b c op ch
         geom_rows = [sorted_ops[2], sorted_ops[3]] + tail[:4]
         color_rows = tail[4:]
+        if stp_resort:
+            kzx_s, kzy_s = _unpack2(sorted_ops[5 + n_packed])
+            stp_rows = [sorted_ops[4 + n_packed], kzx_s, kzy_s]
     else:
-        sorted_ops = lax.sort((key,) + tuple(rows[1:8 + c]), num_keys=1,
+        n_rows = (11 + c) if stp_resort else (8 + c)
+        sorted_ops = lax.sort((key,) + tuple(rows[1:n_rows]), num_keys=1,
                               is_stable=True)
         sorted_keys = sorted_ops[0]
         gid_sorted = sorted_ops[1]
         geom_rows = list(sorted_ops[2:8])
-        color_rows = list(sorted_ops[8:])
+        color_rows = list(sorted_ops[8:8 + c])
+        if stp_resort:
+            stp_rows = list(sorted_ops[8 + c:11 + c])
     zrow = jnp.zeros((2, capacity), jnp.float32)
     geom_s = jnp.concatenate(
         [jnp.stack(geom_rows, axis=0), zrow], axis=0)   # [8, cap]
     color_s = jnp.stack(color_rows, axis=0)             # [C, cap]
-    return sorted_keys, gid_sorted, geom_s, color_s
+    stp_s = None
+    if stp_resort:
+        # [8, cap] side stream (depth, kzx, kzy + sublane padding): f32
+        # Mosaic blocks want 8 sublanes
+        stp_s = jnp.concatenate(
+            [jnp.stack(stp_rows, axis=0),
+             jnp.zeros((5, capacity), jnp.float32)], axis=0)
+    return sorted_keys, gid_sorted, geom_s, color_s, stp_s
 
 
 # ---------------------------------------------------------------------------
@@ -480,19 +513,62 @@ def _alphas(geom, px, py):
     return a, keep, raw, dx, dy, ca[0], cb[0], cc[0], op[0], sigma
 
 
+def _window_before(vals, d, chunk):
+    """Per-pixel within-window ordered sum (StopThePop resort primitive).
+
+    vals/d: [P, chunk]. Windows are aligned groups of STP_WINDOW lanes.
+    Returns S[p, i] = sum over j in i's window with precedes(j, i) of
+    vals[p, j], where precedes(j, i) := d_j < d_i, ties broken by lane
+    index (stable). Implemented as 2x(W-1) statically-shifted masked adds
+    on the VPU — the 16-wide variant costs ~2-4x of the touched terms
+    only (full-chunk 128-wide resort measured ~30x, NOTES design).
+    """
+    P = vals.shape[0]
+    W = STP_WINDOW
+    lane = lax.broadcasted_iota(jnp.int32, (1, chunk), 1) % W
+    zpad = jnp.zeros((P, W), vals.dtype)
+    vp = jnp.concatenate([zpad, vals, zpad], axis=1)      # [P, chunk + 2W]
+    dp = jnp.concatenate([zpad, d, zpad], axis=1)
+    out = jnp.zeros_like(vals)
+    for o in range(1, W):
+        # j = i - o (earlier lane, same window): tie -> j precedes
+        v_r = vp[:, W - o:W - o + chunk]
+        d_r = dp[:, W - o:W - o + chunk]
+        out += jnp.where((lane >= o) & (d_r <= d), v_r, 0.0)
+        # j = i + o (later lane, same window): strictly smaller d precedes
+        v_l = vp[:, W + o:W + o + chunk]
+        d_l = dp[:, W + o:W + o + chunk]
+        out += jnp.where((lane < W - o) & (d_l < d), v_l, 0.0)
+    return out
+
+
+def _stp_depths(stp_blk, geom_blk, px, py):
+    """Per-pixel conditional depth E[z | xy]: d_p = depth + kz.(p - mean)."""
+    depth = stp_blk[0:1, :]
+    kzx = stp_blk[1:2, :]
+    kzy = stp_blk[2:3, :]
+    return depth + kzx * (px - geom_blk[0:1, :]) \
+        + kzy * (py - geom_blk[1:2, :])
+
+
 def _fwd_kernel(
     blk_ref, tile_ref, flags_ref,
-    geom_ref, color_ref,
-    out_ref, tfin_ref, istop_ref,
-    acc, T, istop, alldone,
-    *, tiles_x: int, tile_size: int, sb: int, chunk: int, n_channels: int,
-    fast: bool,
+    *refs,
+    tiles_x: int, tile_size: int, sb: int, chunk: int, n_channels: int,
+    fast: bool, stp: bool = False,
 ):
+    if stp:
+        (geom_ref, color_ref, stp_ref, out_ref, tfin_ref, istop_ref,
+         acc, T, istop, alldone) = refs
+    else:
+        (geom_ref, color_ref, out_ref, tfin_ref, istop_ref,
+         acc, T, istop, alldone) = refs
     prec = None if fast else lax.Precision.HIGHEST
     k = pl.program_id(0)
     tile = tile_ref[k]
     valid, first, last, lo, hi = _unpack(flags_ref[k])
     P = tile_size * tile_size
+    W = STP_WINDOW
 
     @pl.when(first)
     def _():
@@ -505,8 +581,12 @@ def _fwd_kernel(
     def _():
         px, py = _pixel_coords(tile, tiles_x, tile_size)
         base0 = blk_ref[k] * sb
-        tri = (lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-               < lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1))
+        i0 = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+        i1 = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+        # with the per-pixel resort, the across-window order is the global
+        # key order (strict window-level triangle); within a window the
+        # order is data-dependent per pixel (_window_before)
+        tri = (i0 // W < i1 // W) if stp else (i0 < i1)
         lane = lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
         # inner walk over sub-chunks of the stream block (unrolled; the
         # grid step count — and its DMA/launch overhead — is amortized 8x).
@@ -519,30 +599,45 @@ def _fwd_kernel(
                 a, *_ = _alphas(geom_ref[:, sl], px, py)
                 idx = base0 + j * chunk + lane
                 lane_sb = j * chunk + lane
-                in_rng = ((lane_sb >= lo) & (lane_sb < hi)
-                          & (idx < istop[...]))
+                in_rng = (lane_sb >= lo) & (lane_sb < hi)
+                if not stp:
+                    in_rng = in_rng & (idx < istop[...])
                 a = jnp.where(in_rng, a, 0.0)
 
                 lf = jnp.log1p(-a)
                 S_exc = jnp.dot(lf, tri.astype(lf.dtype),
                                 preferred_element_type=jnp.float32,
                                 precision=prec)
+                if stp:
+                    dpp = _stp_depths(stp_ref[:, sl], geom_ref[:, sl],
+                                      px, py)
+                    S_exc = S_exc + _window_before(lf, dpp, chunk)
                 T_exc = T[...] * jnp.exp(S_exc)
-                T_inc = T_exc * (1.0 - a)
 
-                comp = (T_inc > MIN_TRANSMITTANCE) & (a > 0.0)
-                w = jnp.where(comp, a * T_exc, 0.0)
+                if stp:
+                    # no transmittance break in resort mode: "first break
+                    # index" is order-dependent, which is exactly what STP
+                    # removes; weights below MIN_TRANSMITTANCE vanish on
+                    # their own (T underflows toward 0 harmlessly)
+                    w = a * T_exc
+                    lf_eff = lf
+                else:
+                    T_inc = T_exc * (1.0 - a)
+                    comp = (T_inc > MIN_TRANSMITTANCE) & (a > 0.0)
+                    w = jnp.where(comp, a * T_exc, 0.0)
+                    lf_eff = jnp.where(comp, lf, 0.0)
                 acc[...] += jnp.dot(w, color_ref[:, sl].T,
                                     preferred_element_type=jnp.float32,
                                     precision=prec)
-                lf_eff = jnp.where(comp, lf, 0.0)
                 T[...] = T[...] * jnp.exp(
                     jnp.sum(lf_eff, axis=1, keepdims=True))
-                brk = (T_inc <= MIN_TRANSMITTANCE) & (a > 0.0)
-                first_brk = jnp.min(jnp.where(brk, idx, BIG_I32), axis=1,
-                                    keepdims=True)
-                istop[...] = jnp.minimum(istop[...], first_brk)
-        alldone[0] = jnp.all(istop[...] < BIG_I32).astype(jnp.int32)
+                if not stp:
+                    brk = (T_inc <= MIN_TRANSMITTANCE) & (a > 0.0)
+                    first_brk = jnp.min(jnp.where(brk, idx, BIG_I32),
+                                        axis=1, keepdims=True)
+                    istop[...] = jnp.minimum(istop[...], first_brk)
+        if not stp:
+            alldone[0] = jnp.all(istop[...] < BIG_I32).astype(jnp.int32)
 
     @pl.when(last)
     def _():
@@ -553,18 +648,24 @@ def _fwd_kernel(
 
 def _rasterize_fwd_raw(geom_s, color_s, sched: ChunkSchedule,
                        n_tiles, tiles_x, tile_size, sb, chunk, interpret,
-                       fast=False):
+                       fast=False, stp_s=None):
     C = color_s.shape[0]
     G = sched.blk.shape[0]
     P = tile_size * tile_size
+    stp = stp_s is not None
 
+    in_specs = [
+        pl.BlockSpec((8, sb), lambda k, b, t, f: (0, b[k])),
+        pl.BlockSpec((C, sb), lambda k, b, t, f: (0, b[k])),
+    ]
+    inputs = [geom_s, color_s]
+    if stp:
+        in_specs.append(pl.BlockSpec((8, sb), lambda k, b, t, f: (0, b[k])))
+        inputs.append(stp_s)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(G,),
-        in_specs=[
-            pl.BlockSpec((8, sb), lambda k, b, t, f: (0, b[k])),
-            pl.BlockSpec((C, sb), lambda k, b, t, f: (0, b[k])),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, P, C), lambda k, b, t, f: (t[k], 0, 0)),
             pl.BlockSpec((1, 1, P), lambda k, b, t, f: (t[k], 0, 0)),
@@ -579,7 +680,8 @@ def _rasterize_fwd_raw(geom_s, color_s, sched: ChunkSchedule,
     )
     out, tfin, istop = pl.pallas_call(
         functools.partial(_fwd_kernel, tiles_x=tiles_x, tile_size=tile_size,
-                          sb=sb, chunk=chunk, n_channels=C, fast=fast),
+                          sb=sb, chunk=chunk, n_channels=C, fast=fast,
+                          stp=stp),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, P, C), jnp.float32),
@@ -587,7 +689,7 @@ def _rasterize_fwd_raw(geom_s, color_s, sched: ChunkSchedule,
             jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.int32),
         ],
         interpret=interpret,
-    )(sched.blk, sched.tile_of_chunk, sched.flags, geom_s, color_s)
+    )(sched.blk, sched.tile_of_chunk, sched.flags, *inputs)
     return out, tfin, istop
 
 
@@ -597,11 +699,16 @@ def _rasterize_fwd_raw(geom_s, color_s, sched: ChunkSchedule,
 
 def _bwd_kernel(
     blk_ref, tile_ref, flags_ref, rvflag_ref,
-    geom_ref, color_ref, gout_ref, galpha_ref, tfin_ref, istop_ref,
-    dgeom_ref, dcolor_ref,
-    T_run, Sg, max_istop,
-    *, tiles_x: int, tile_size: int, sb: int, chunk: int, n_channels: int,
+    *refs,
+    tiles_x: int, tile_size: int, sb: int, chunk: int, n_channels: int,
+    stp: bool = False,
 ):
+    if stp:
+        (geom_ref, color_ref, stp_ref, gout_ref, galpha_ref, tfin_ref,
+         istop_ref, dgeom_ref, dcolor_ref, T_run, Sg, max_istop) = refs
+    else:
+        (geom_ref, color_ref, gout_ref, galpha_ref, tfin_ref, istop_ref,
+         dgeom_ref, dcolor_ref, T_run, Sg, max_istop) = refs
     k = pl.program_id(0)
     pos = pl.num_programs(0) - 1 - k
     tile = tile_ref[pos]
@@ -632,10 +739,13 @@ def _bwd_kernel(
         g = gout_ref[0]                               # [P, C]
         lane = lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
         lane1 = lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        tri_ge = (lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-                  >= lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1))
-        tri_gt = (lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-                  > lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1))
+        i0 = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+        i1 = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+        W = STP_WINDOW
+        # stp: across-window order is the key order; within a window the
+        # per-pixel resort replaces the triangles with _window_before sums
+        tri_ge = (i0 // W >= i1 // W) if stp else (i0 >= i1)
+        tri_gt = (i0 // W >= i1 // W) if stp else (i0 > i1)
         istop_col = istop_ref[0, 0][:, None]
 
         # reverse inner walk over the sub-chunks of the stream block; each
@@ -658,6 +768,14 @@ def _bwd_kernel(
 
                 S_inc = jnp.dot(lf, tri_ge.astype(lf.dtype),
                                 preferred_element_type=jnp.float32)
+                if stp:
+                    dpp = _stp_depths(stp_ref[:, sl], geom_ref[:, sl],
+                                      px, py)
+                    lf_before = _window_before(lf, dpp, chunk)
+                    # S_inc must sum lf over slots NOT preceding i (incl.
+                    # i): full >=-window sum minus the within-window
+                    # predecessors
+                    S_inc = S_inc - lf_before
                 T_exc = T_run[...] * jnp.exp(-S_inc)
 
                 colors = color_ref[:, sl]             # [C, K]
@@ -666,6 +784,11 @@ def _bwd_kernel(
                 q = a * T_exc * cg
                 Sq_strict = jnp.dot(q, tri_gt.astype(q.dtype),
                                     preferred_element_type=jnp.float32)
+                if stp:
+                    # strictly-after sum: full >=-window sum minus self
+                    # minus the within-window predecessors
+                    Sq_strict = Sq_strict - q - _window_before(q, dpp,
+                                                               chunk)
                 Sg_i = Sg[...] + Sq_strict
 
                 one_minus = jnp.maximum(1.0 - a, 1e-3)
@@ -723,11 +846,12 @@ def _bwd_kernel(
 
 def _rasterize_bwd_raw(geom_s, color_s, gout, galpha, tfin, istop,
                        sched: ChunkSchedule, n_tiles, tiles_x, tile_size,
-                       sb, chunk, interpret):
+                       sb, chunk, interpret, stp_s=None):
     C = color_s.shape[0]
     G = sched.blk.shape[0]
     P = tile_size * tile_size
     capacity = geom_s.shape[1]
+    stp = stp_s is not None
 
     # walk-order revisit flag: in the REVERSED walk, chunk at pos is a
     # non-first visit of its block when pos+1 (visited just before) shares it
@@ -738,17 +862,25 @@ def _rasterize_bwd_raw(geom_s, color_s, gout, galpha, tfin, istop,
     def rev(idx_fn):
         return lambda k, b, t, f, r: idx_fn(G - 1 - k, b, t)
 
+    in_specs = [
+        pl.BlockSpec((8, sb), rev(lambda p, b, t: (0, b[p]))),
+        pl.BlockSpec((C, sb), rev(lambda p, b, t: (0, b[p]))),
+    ]
+    inputs = [geom_s, color_s]
+    if stp:
+        in_specs.append(pl.BlockSpec((8, sb), rev(lambda p, b, t:
+                                                  (0, b[p]))))
+        inputs.append(stp_s)
+    in_specs += [
+        pl.BlockSpec((1, P, C), rev(lambda p, b, t: (t[p], 0, 0))),
+        pl.BlockSpec((1, 1, P), rev(lambda p, b, t: (t[p], 0, 0))),
+        pl.BlockSpec((1, 1, P), rev(lambda p, b, t: (t[p], 0, 0))),
+        pl.BlockSpec((1, 1, P), rev(lambda p, b, t: (t[p], 0, 0))),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(G,),
-        in_specs=[
-            pl.BlockSpec((8, sb), rev(lambda p, b, t: (0, b[p]))),
-            pl.BlockSpec((C, sb), rev(lambda p, b, t: (0, b[p]))),
-            pl.BlockSpec((1, P, C), rev(lambda p, b, t: (t[p], 0, 0))),
-            pl.BlockSpec((1, 1, P), rev(lambda p, b, t: (t[p], 0, 0))),
-            pl.BlockSpec((1, 1, P), rev(lambda p, b, t: (t[p], 0, 0))),
-            pl.BlockSpec((1, 1, P), rev(lambda p, b, t: (t[p], 0, 0))),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((6, sb), rev(lambda p, b, t: (0, b[p]))),
             pl.BlockSpec((C, sb), rev(lambda p, b, t: (0, b[p]))),
@@ -761,14 +893,14 @@ def _rasterize_bwd_raw(geom_s, color_s, gout, galpha, tfin, istop,
     )
     dgeom, dcolor = pl.pallas_call(
         functools.partial(_bwd_kernel, tiles_x=tiles_x, tile_size=tile_size,
-                          sb=sb, chunk=chunk, n_channels=C),
+                          sb=sb, chunk=chunk, n_channels=C, stp=stp),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((6, capacity), jnp.float32),
             jax.ShapeDtypeStruct((C, capacity), jnp.float32),
         ],
         interpret=interpret,
-    )(sched.blk, sched.tile_of_chunk, sched.flags, rv, geom_s, color_s,
+    )(sched.blk, sched.tile_of_chunk, sched.flags, rv, *inputs,
       gout, galpha, tfin, istop)
     return dgeom, dcolor
 
@@ -982,7 +1114,7 @@ def _fwd_impl(means2d, conics, opacities, channels, isects,
     depth_bits = 32 - tile_bits
 
     with jax.named_scope("gs_expand_sort"):
-        sorted_keys, gid_sorted, geom_s, color_s = _expand_sorted(
+        sorted_keys, gid_sorted, geom_s, color_s, stp_s = _expand_sorted(
             means2d, conics, opacities, channels, isects, capacity,
             tile_size, tiles_x, tiles_y, depth_bits, tile_based_culling,
             interpret, fast, stp_resort)
@@ -992,7 +1124,7 @@ def _fwd_impl(means2d, conics, opacities, channels, isects,
     with jax.named_scope("gs_raster_fwd"):
         out_t, tfin_t, istop_t = _rasterize_fwd_raw(
             geom_s, color_s, sched, n_tiles, tiles_x, tile_size,
-            STREAM_BLOCK, chunk, interpret, fast)
+            STREAM_BLOCK, chunk, interpret, fast, stp_s)
 
     empty = (sched.tile_counts == 0)
     out_t = jnp.where(empty[:, None, None], 0.0, out_t)
@@ -1007,7 +1139,8 @@ def _fwd_impl(means2d, conics, opacities, channels, isects,
     n_real = jnp.searchsorted(
         sorted_keys,
         jnp.uint32(n_tiles) << depth_bits).astype(jnp.int32)
-    res = (geom_s, color_s, gid_sorted, sched, tfin_t, istop_t, n_real, n)
+    res = (geom_s, color_s, stp_s, gid_sorted, sched, tfin_t, istop_t,
+           n_real, n)
     return (out, alpha), res
 
 
@@ -1025,7 +1158,7 @@ def _rasterize_fwd(means2d, conics, opacities, channels, absgrad_tap,
 def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
                    capacity, tile_based_culling, fast, stp_resort, res,
                    cotangents):
-    (geom_s, color_s, gid_sorted, sched, tfin_t, istop_t, n_real, n,
+    (geom_s, color_s, stp_s, gid_sorted, sched, tfin_t, istop_t, n_real, n,
      isects) = res
     g_out, g_alpha = cotangents
     tiles_x = -(-img_width // tile_size)
@@ -1039,7 +1172,7 @@ def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
     with jax.named_scope("gs_raster_bwd"):
         dgeom_s, dcolor_s = _rasterize_bwd_raw(
             geom_s, color_s, gout_t, galpha_t, tfin_t, istop_t, sched,
-            n_tiles, tiles_x, ts, STREAM_BLOCK, chunk, interpret)
+            n_tiles, tiles_x, ts, STREAM_BLOCK, chunk, interpret, stp_s)
 
     # zero the never-written garbage past the real slots
     capacity_r = geom_s.shape[1]

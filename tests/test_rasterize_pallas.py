@@ -168,10 +168,11 @@ def test_fast_mode_close_to_exact():
                                    np.asarray(a) / denom, atol=0.03)
 
 
-def test_stp_per_tile_depth_keys_reorder():
+def test_stp_per_pixel_resort():
     """Two overlapping gaussians whose CENTER depth order contradicts the
-    depth-plane order at the tile center: stp_resort composites by the
-    corrected per-tile depth (matches the oracle with inputs swapped)."""
+    depth-plane order over part of the tile: stp_resort composites each
+    PIXEL by its own conditional depth E[z | xy] — the expected image is a
+    per-pixel select between the two fixed-order oracle renders."""
     import jax.numpy as jnp
     from gsl_tpu.ops.projection import Projections
     from gsl_tpu.ops.rasterize_reference import rasterize_oracle
@@ -214,8 +215,16 @@ def test_stp_per_tile_depth_keys_reorder():
             jnp.asarray(fake_depths, jnp.float32), jnp.ones(2, bool),
             H2, W2)[0]
 
-    np.testing.assert_allclose(np.asarray(img_stp),
-                               np.asarray(oracle([4.0, 2.05])), rtol=1e-4,
+    # per-pixel conditional depths (pixel centers at x + 0.5):
+    # d0(p) = 2.0 + 2.0 * (px - 7.0), d1(p) = 2.05
+    px = np.arange(W2) + 0.5
+    d0 = 2.0 + 2.0 * (px - 7.0)
+    g0_first = (d0 < 2.05)[None, :, None]              # [1, W, 1]
+    img_g0_first = np.asarray(oracle([2.0, 2.05]))
+    img_g1_first = np.asarray(oracle([4.0, 2.05]))
+    expected = np.where(g0_first, img_g0_first, img_g1_first)
+    assert not np.allclose(img_g0_first, img_g1_first)
+    np.testing.assert_allclose(np.asarray(img_stp), expected, rtol=1e-4,
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(img_plain),
                                np.asarray(oracle([2.0, 2.05])), rtol=1e-4,

@@ -108,7 +108,7 @@ def main():
           % (isects.n_isects, isects.total_padded, isects.n_dropped))
 
     depth_bits = 32 - max(int(np.ceil(np.log2(tiles_x * tiles_y + 1))), 1)
-    sk, gid_s, geom_s, color_s = timeit(
+    sk, gid_s, geom_s, color_s, _ = timeit(
         "expand+sort", lambda b: rp._expand_sorted(
             proj.means2d + b, proj.conics, opac, colors, isects, cap_i,
             ts, tiles_x, tiles_y, depth_bits, True, interp, True))
