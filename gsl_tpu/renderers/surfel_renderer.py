@@ -112,10 +112,15 @@ class SurfelRenderer:
             0.0, None)
         channels = jnp.concatenate([rgbs, proj.normals], axis=-1)
 
-        # reuse the tile binner through a Projections shim
+        # reuse the tile binner through a Projections shim. tile_rect derives
+        # the ellipse AABB from the conic, so a radius-r surfel must present
+        # an isotropic conic with 3*sqrt(Sigma_xx) = r, i.e. conic = 9/r^2
+        # (zero conics would collapse every rect to the center tile)
+        r2 = jnp.maximum(proj.radii.astype(jnp.float32), 1.0) ** 2
+        iso = 9.0 / r2
         shim = Projections(
             means2d=proj.means2d, depths=proj.depths, radii=proj.radii,
-            conics=jnp.zeros((cap, 3), jnp.float32),
+            conics=jnp.stack([iso, jnp.zeros_like(iso), iso], axis=-1),
             compensations=jnp.ones((cap,), jnp.float32), mask=proj.mask)
         isects = isect_encode(shim, img_height, img_width, cfg.tile_size,
                               isect_capacity)
