@@ -996,9 +996,6 @@ def _reduce_by_gid(dgeom, dcolor, gid_sorted, n, interpret, fast=False):
     they drive the densification statistics)."""
     R = 2 + dgeom.shape[0] + dcolor.shape[0]    # + the 2 recovered abs rows
     capacity = dgeom.shape[1]
-    B = RED_B
-    RW = RED_W // 8
-    n_blocks = capacity // B
     R_pad = TABLE_D
 
     grad_rows = list(dgeom) + list(dcolor)      # dmx dmy da db dc dop ch..
@@ -1021,6 +1018,19 @@ def _reduce_by_gid(dgeom, dcolor, gid_sorted, n, interpret, fast=False):
         + sorted_rows[6:] + [jnp.zeros((capacity,), jnp.float32)]
         * (R_pad - R), axis=0)                          # [R_pad, cap]
 
+    return _reduce_sorted_rows(rows, gid2, n, interpret, fast)[:, :R]
+
+
+def _reduce_sorted_rows(rows, gid2, n, interpret, fast=False):
+    """Windowed one-hot group-by of gid-SORTED rows [R_pad<=16, cap] ->
+    per-gaussian sums [N, R_pad]. Shared by the 3DGS and surfel reduces;
+    callers with more than 16 gradient rows sort once and invoke this per
+    16-row group."""
+    R_pad, capacity = rows.shape
+    assert R_pad == TABLE_D
+    B = RED_B
+    RW = RED_W // 8
+    n_blocks = capacity // B
     g_lo = jnp.clip(gid2[::B].astype(jnp.int32), 0, n)
     g8 = g_lo // 8                                      # aligned base / 8
 
@@ -1040,12 +1050,12 @@ def _reduce_by_gid(dgeom, dcolor, gid_sorted, n, interpret, fast=False):
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_reduce_kernel, r_rows=R, fast=fast),
+        functools.partial(_reduce_kernel, r_rows=R_pad, fast=fast),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n8 + RW, 128), jnp.float32),
         interpret=interpret,
     )(g8, rows, gid2[None, :])
-    return out[:n8].reshape(n8 * 8, R_pad)[:n, :R]      # [N, R]
+    return out[:n8].reshape(n8 * 8, R_pad)[:n]          # [N, R_pad]
 
 
 # ---------------------------------------------------------------------------

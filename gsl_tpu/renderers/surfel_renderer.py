@@ -43,6 +43,10 @@ class SurfelRendererConfig:
     max_per_tile: int = 1024
     chunk: int = 64
     max_viewspace_grad_scale: float = 65535.0
+    backend: str = "auto"        # "auto" | "pallas" | "xla": auto takes the
+                                 # Pallas kernel path on TPU (interpret mode
+                                 # is test-only; XLA is the CPU default)
+    pallas_chunk: int = 128
 
     def instantiate(self) -> "SurfelRenderer":
         return SurfelRenderer(self)
@@ -122,13 +126,32 @@ class SurfelRenderer:
             means2d=proj.means2d, depths=proj.depths, radii=proj.radii,
             conics=jnp.stack([iso, jnp.zeros_like(iso), iso], axis=-1),
             compensations=jnp.ones((cap,), jnp.float32), mask=proj.mask)
-        isects = isect_encode(shim, img_height, img_width, cfg.tile_size,
-                              isect_capacity)
-
-        res = rasterize_surfels(
-            proj, opacities, channels, isects, img_height, img_width,
-            tile_size=cfg.tile_size, max_per_tile=cfg.max_per_tile,
-            chunk=cfg.chunk)
+        use_pallas = cfg.backend == "pallas" or (
+            cfg.backend == "auto" and jax.default_backend() == "tpu")
+        if use_pallas:
+            from ..ops.rasterize_pallas import isect_encode_padded
+            from ..ops.surfel import SurfelRenderResult
+            from ..ops.surfel_pallas import rasterize_surfels_pallas
+            cap_i = -(-isect_capacity // 1024) * 1024
+            isects_p = isect_encode_padded(
+                shim, img_height, img_width, cfg.tile_size, cap_i)
+            interpret = jax.default_backend() != "tpu"
+            img, alpha_p, expd, med, dist = rasterize_surfels_pallas(
+                proj.Tu, proj.Tv, proj.Tw, proj.zcoef, opacities,
+                channels, isects_p, img_height, img_width, cfg.tile_size,
+                cfg.pallas_chunk, interpret, cap_i)
+            res = SurfelRenderResult(channels=img, alpha=alpha_p,
+                                     exp_depth=expd, median_depth=med,
+                                     distortion=dist)
+            n_dropped = isects_p.n_dropped
+        else:
+            isects = isect_encode(shim, img_height, img_width,
+                                  cfg.tile_size, isect_capacity)
+            res = rasterize_surfels(
+                proj, opacities, channels, isects, img_height, img_width,
+                tile_size=cfg.tile_size, max_per_tile=cfg.max_per_tile,
+                chunk=cfg.chunk)
+            n_dropped = isects.n_dropped
 
         render = (res.channels[..., :3]
                   + (1.0 - res.alpha)[..., None] * bg_color[None, None, :])
@@ -152,7 +175,7 @@ class SurfelRenderer:
             surf_depth=surf_depth,
             surf_normal=surf_normal,
             radii=proj.radii,
-            n_dropped=isects.n_dropped,
+            n_dropped=n_dropped,
         )
 
     def get_available_outputs(self):
