@@ -50,24 +50,61 @@ def save_gaussian_ply(path: str, means: np.ndarray, scales: np.ndarray,
         f.write(np.ascontiguousarray(cols).tobytes())
 
 
+_PLY_TYPES = {
+    "float": "<f4", "float32": "<f4", "double": "<f8", "float64": "<f8",
+    "int": "<i4", "int32": "<i4", "uint": "<u4", "uint32": "<u4",
+    "short": "<i2", "int16": "<i2", "ushort": "<u2", "uint16": "<u2",
+    "char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+}
+
+
 def load_gaussian_ply(path: str):
     """Returns dict of raw arrays (means, scales, rotations, opacities,
-    shs_dc, shs_rest)."""
+    shs_dc, shs_rest).
+
+    Accepts third-party export variants (reference GaussianPlyUtils.
+    load_from_ply via plyfile, gaussian_utils.py:52-90): ascii or binary,
+    mixed property types (doubles, uchar extras from editors), any SH
+    degree 0..3 (f_rest count auto-detected downstream), missing normals,
+    extra unknown properties, and 2-scale (2DGS) exports — the missing
+    third scale is padded with log(1e-6) so surfel plys open in the
+    viewer/editor tooling."""
     with open(path, "rb") as f:
         data = f.read()
     head_end = data.index(b"end_header\n") + len(b"end_header\n")
-    header = data[:head_end].decode("ascii").splitlines()
+    header = data[:head_end].decode("ascii", "replace").splitlines()
     n = None
-    names = []
+    props = []          # (name, numpy dtype str)
+    fmt = "binary_little_endian"
+    in_vertex = False
     for line in header:
-        if line.startswith("element vertex"):
-            n = int(line.split()[-1])
-        elif line.startswith("property float"):
-            names.append(line.split()[-1])
-    assert n is not None
-    arr = np.frombuffer(data[head_end:], dtype="<f4",
-                        count=n * len(names)).reshape(n, len(names))
-    col = {nm: arr[:, i] for i, nm in enumerate(names)}
+        toks = line.split()
+        if not toks:
+            continue
+        if toks[0] == "format":
+            fmt = toks[1]
+        elif toks[0] == "element":
+            in_vertex = toks[1] == "vertex"
+            if in_vertex:
+                n = int(toks[2])
+        elif toks[0] == "property" and in_vertex:
+            if toks[1] == "list":
+                raise ValueError("list properties unsupported in "
+                                 "gaussian plys")
+            props.append((toks[2], _PLY_TYPES[toks[1]]))
+    assert n is not None, "no vertex element in ply header"
+    names = [p[0] for p in props]
+    if fmt == "ascii":
+        rows = np.loadtxt(io.StringIO(
+            data[head_end:].decode("ascii")), ndmin=2)[:n]
+        col = {nm: rows[:, i].astype(np.float32)
+               for i, nm in enumerate(names)}
+    else:
+        if fmt == "binary_big_endian":
+            props = [(nm, dt.replace("<", ">")) for nm, dt in props]
+        rec = np.frombuffer(data[head_end:],
+                            dtype=np.dtype(props), count=n)
+        col = {nm: rec[nm].astype(np.float32) for nm in names}
 
     means = np.stack([col["x"], col["y"], col["z"]], axis=-1)
     n_dc = sum(1 for nm in names if nm.startswith("f_dc_"))
@@ -82,6 +119,10 @@ def load_gaussian_ply(path: str):
         shs_rest = np.zeros((n, 0, 3), np.float32)
     n_scale = sum(1 for nm in names if nm.startswith("scale_"))
     scales = np.stack([col[f"scale_{i}"] for i in range(n_scale)], axis=-1)
+    if n_scale == 2:
+        # 2DGS export: pad the flat axis (log-space) so 3D tooling loads it
+        scales = np.concatenate(
+            [scales, np.full((n, 1), np.log(1e-6), np.float32)], axis=-1)
     rotations = np.stack([col[f"rot_{i}"] for i in range(4)], axis=-1)
     opacities = col["opacity"].reshape(n, 1)
     return dict(means=means, scales=scales, rotations=rotations,

@@ -28,6 +28,20 @@ class ViewerRenderer:
     def available_output_types(self):
         return list(self.renderer.get_available_outputs().keys())
 
+    def get_depth(self, c2w: np.ndarray, width: int, height: int,
+                  fov_y: float = 60.0) -> np.ndarray:
+        """Expected-depth map [H, W] (the measurement panel unprojects
+        clicked pixels through it)."""
+        w2c = np.linalg.inv(np.asarray(c2w, np.float64))
+        f = 0.5 * height / np.tan(0.5 * np.deg2rad(fov_y))
+        cam = make_camera(
+            R=w2c[:3, :3], T=w2c[:3, 3], fx=f, fy=f,
+            cx=width / 2.0, cy=height / 2.0, width=width, height=height)
+        out = self.renderer.forward(
+            self.state, cam, height, width, self.bg, self.sh_degree,
+            render_types=frozenset({"rgb", "exp_depth"}))
+        return np.asarray(out.exp_depth)
+
     def get_outputs(self, c2w: np.ndarray, width: int, height: int,
                     fov_y: float = 60.0) -> np.ndarray:
         """c2w [4,4] OpenCV convention -> uint8 HWC image."""

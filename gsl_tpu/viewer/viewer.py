@@ -1,16 +1,25 @@
 """Interactive web viewer.
 
-Parity target: /root/reference/internal/viewer/viewer.py:23-560 (viser-based
-server with per-client render threads, resolution throttling, output-type
-selection). viser is optional in this image; when absent a dependency-free
-HTTP viewer serves an orbit-controllable render page — same ViewerRenderer
-path, different transport.
+Parity target: /root/reference/internal/viewer/viewer.py:23-560 +
+internal/viewer/client.py:12-162 (per-client render threads with low/high
+resolution states) + internal/viewer/ui/ (transform / edit / camera-path /
+distance-measurement panels). The reference's viser transport is replaced
+BY DESIGN with a dependency-free HTTP server (viser does not ship in this
+image): same ViewerRenderer path and panel operations, browser-native
+controls.
+
+Client-throttling parity (client.py low/high states): while the camera is
+moving (requests arriving in quick succession) frames render at half
+resolution; once idle, the next frame renders at full resolution. A
+`max_fps` cap serves the cached frame when requests arrive faster than
+the budget.
 """
 from __future__ import annotations
 
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -48,9 +57,15 @@ _PAGE = """<!DOCTYPE html><html><head><title>gsl_tpu viewer</title></head>
   <a href="/path/render.gif" target="_blank">render gif</a>
   <span id="pathmsg"></span>
 </details>
+<details style="padding:8px"><summary>measure (click two points)</summary>
+  <button onclick="measureMode=!measureMode;points=[];this.textContent=
+    measureMode?'measuring: click image twice':'measure'">measure</button>
+  <span id="measuremsg"></span>
+</details>
 <img id="view" style="width:100%" />
 <script>
 const img = document.getElementById('view');
+let measureMode = false; let points = [];
 async function outputs() {
   const r = await fetch('/outputs'); const names = await r.json();
   const sel = document.getElementById('out');
@@ -65,7 +80,7 @@ function refresh() {
   img.src = `/render?yaw=${y}&pitch=${p}&dist=${d}&output=${o}&t=${Date.now()}`;
 }
 for (const id of ['yaw','pitch','dist','out'])
-  document.getElementById(id).addEventListener('change', refresh);
+  document.getElementById(id).addEventListener('input', refresh);
 function val(id) { return document.getElementById(id).value; }
 async function applyTransform() {
   await fetch(`/transform?tx=${val('tx')}&ty=${val('ty')}&tz=${val('tz')}` +
@@ -81,6 +96,21 @@ async function addKeyframe() {
   const r = await fetch(`/path/add?yaw=${val('yaw')}&pitch=${val('pitch')}&dist=${val('dist')}`);
   document.getElementById('pathmsg').textContent = await r.text();
 }
+img.addEventListener('click', async (e) => {
+  if (!measureMode) return;
+  const r = img.getBoundingClientRect();
+  points.push([(e.clientX - r.left) / r.width,
+               (e.clientY - r.top) / r.height]);
+  if (points.length == 2) {
+    const q = `p1=${points[0]}&p2=${points[1]}&yaw=${val('yaw')}` +
+      `&pitch=${val('pitch')}&dist=${val('dist')}`;
+    const resp = await fetch(`/measure?${q}`);
+    document.getElementById('measuremsg').textContent = await resp.text();
+    points = [];
+  } else {
+    document.getElementById('measuremsg').textContent = 'point 1 set';
+  }
+});
 outputs().then(refresh);
 </script></body></html>"""
 
@@ -107,7 +137,8 @@ def orbit_c2w(yaw_deg: float, pitch_deg: float, dist: float,
 class Viewer:
     def __init__(self, model_path: str, host: str = "0.0.0.0",
                  port: int = 8080, background=(0.0, 0.0, 0.0),
-                 image_size: int = 512):
+                 image_size: int = 512, max_fps: float = 10.0,
+                 moving_window_s: float = 0.4):
         state, renderer, sh_degree = GaussianModelLoader.load(model_path)
         self._base_state = state
         self.renderer = ViewerRenderer(state, renderer, sh_degree,
@@ -116,44 +147,67 @@ class Viewer:
         self.camera_path = CameraPath()
         self.host, self.port = host, port
         self.image_size = image_size
+        self.max_fps = max_fps
+        self.moving_window_s = moving_window_s
+        # throttling state (reference client.py low/high resolution states)
+        self._last_request = 0.0
+        self._last_render = 0.0
+        self._cached_frame = None
+        self._cache_key = None
+        self._lock = threading.Lock()
         # center orbit on the scene
         alive = np.asarray(state.alive)
         self.target = np.asarray(state.params.means)[alive].mean(0)
 
+    # ---- render with low/high-resolution throttling ----
+    def render_frame(self, yaw, pitch, dist, output="rgb"):
+        """Returns (png_bytes, resolution): half-res while the camera is
+        moving, full-res when idle; cached frame when over the fps cap."""
+        now = time.monotonic()
+        key = (round(yaw, 3), round(pitch, 3), round(dist, 3), output)
+        with self._lock:
+            moving = (now - self._last_request) < self.moving_window_s
+            self._last_request = now
+            over_budget = (now - self._last_render) < 1.0 / self.max_fps
+            if self._cached_frame is not None and (
+                    over_budget or key == self._cache_key):
+                return self._cached_frame
+        size = self.image_size // 2 if moving else self.image_size
+        self.renderer.output_type = output
+        c2w = orbit_c2w(yaw, pitch, dist, self.target)
+        img = self.renderer.get_outputs(c2w, size, size)
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "PNG")
+        frame = (buf.getvalue(), size)
+        with self._lock:
+            self._last_render = time.monotonic()
+            # only idle full-res frames are cacheable as "current"
+            self._cached_frame = frame
+            self._cache_key = key if not moving else None
+        return frame
+
+    # ---- distance measurement (reference ui/distance_measurement.py) ----
+    def measure(self, yaw, pitch, dist, p1_uv, p2_uv):
+        """Two image points (normalized uv) -> world distance via the
+        rendered expected-depth map."""
+        size = self.image_size
+        c2w = orbit_c2w(yaw, pitch, dist, self.target)
+        depth = self.renderer.get_depth(c2w, size, size)
+
+        def unproject(uv):
+            px = min(int(uv[0] * size), size - 1)
+            py = min(int(uv[1] * size), size - 1)
+            z = float(depth[py, px])
+            f = 0.5 * size / np.tan(0.5 * np.deg2rad(60.0))
+            d_cam = np.array([(px + 0.5 - size / 2) / f,
+                              (py + 0.5 - size / 2) / f, 1.0]) * z
+            return c2w[:3, :3] @ d_cam + c2w[:3, 3]
+
+        a, b = unproject(p1_uv), unproject(p2_uv)
+        return float(np.linalg.norm(a - b)), a, b
+
     def start(self, block: bool = True):
-        try:
-            import viser  # noqa: F401
-            return self._start_viser(block)
-        except ImportError:
-            return self._start_http(block)
-
-    # ---- viser path (full-featured when available) ----
-    def _start_viser(self, block: bool):
-        import viser
-
-        server = viser.ViserServer(host=self.host, port=self.port)
-
-        @server.on_client_connect
-        def _(client):
-            def render_loop():
-                while True:
-                    cam = client.camera
-                    c2w = np.eye(4)
-                    import viser.transforms as vt
-                    c2w[:3, :3] = vt.SO3(cam.wxyz).as_matrix()
-                    c2w[:3, 3] = cam.position
-                    c2w[:3, 1:3] *= -1
-                    img = self.renderer.get_outputs(
-                        c2w, self.image_size, self.image_size)
-                    client.scene.set_background_image(img)
-            threading.Thread(target=render_loop, daemon=True).start()
-
-        if block:
-            threading.Event().wait()
-        return server
-
-    # ---- dependency-free HTTP fallback ----
-    def _start_http(self, block: bool):
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -193,6 +247,7 @@ class Viewer:
                         translate=(g("tx"), g("ty"), g("tz")),
                         rotate_deg=(g("rx"), g("ry"), g("rz")),
                         scale=g("s", 1.0))
+                    viewer._cached_frame = None
                     self._ok(b"ok")
                 elif u.path == "/edit/delete_box":
                     from .panels import delete_in_box
@@ -201,6 +256,7 @@ class Viewer:
                     bmax = [float(x) for x in q["max"][0].split(",")]
                     viewer.renderer.state, n = delete_in_box(
                         viewer.renderer.state, bmin, bmax)
+                    viewer._cached_frame = None
                     self._ok(f"deleted {n}".encode())
                 elif u.path == "/path/add":
                     q = parse_qs(u.query)
@@ -232,29 +288,32 @@ class Viewer:
                     self.send_header("Content-Type", "image/gif")
                     self.end_headers()
                     self.wfile.write(gif)
+                elif u.path == "/measure":
+                    q = parse_qs(u.query)
+                    p1 = [float(x) for x in q["p1"][0].split(",")]
+                    p2 = [float(x) for x in q["p2"][0].split(",")]
+                    d, a, b = viewer.measure(
+                        float(q.get("yaw", ["0"])[0]),
+                        float(q.get("pitch", ["-15"])[0]),
+                        float(q.get("dist", ["6"])[0]), p1, p2)
+                    self._ok(f"distance {d:.4f}".encode())
                 elif u.path == "/render":
                     q = parse_qs(u.query)
-                    yaw = float(q.get("yaw", ["0"])[0])
-                    pitch = float(q.get("pitch", ["-15"])[0])
-                    dist = float(q.get("dist", ["6"])[0])
-                    viewer.renderer.output_type = q.get("output",
-                                                        ["rgb"])[0]
-                    c2w = orbit_c2w(yaw, pitch, dist, viewer.target)
-                    img = viewer.renderer.get_outputs(
-                        c2w, viewer.image_size, viewer.image_size)
-                    from PIL import Image
-                    buf = io.BytesIO()
-                    Image.fromarray(img).save(buf, "PNG")
+                    png, _res = viewer.render_frame(
+                        float(q.get("yaw", ["0"])[0]),
+                        float(q.get("pitch", ["-15"])[0]),
+                        float(q.get("dist", ["6"])[0]),
+                        q.get("output", ["rgb"])[0])
                     self.send_response(200)
                     self.send_header("Content-Type", "image/png")
                     self.end_headers()
-                    self.wfile.write(buf.getvalue())
+                    self.wfile.write(png)
                 else:
                     self.send_response(404)
                     self.end_headers()
 
         server = ThreadingHTTPServer((self.host, self.port), Handler)
-        print(f"viewer (http fallback) at http://{self.host}:{self.port}")
+        print(f"viewer at http://{self.host}:{self.port}")
         if block:
             server.serve_forever()
         else:
