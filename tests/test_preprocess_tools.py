@@ -103,3 +103,46 @@ def test_sfm_outlier_detection(tmp_path):
     flagged = open(str(tmp_path / "sfm_outliers.txt")).read()
     assert "bad_cam.png" in flagged
     assert flagged.strip().count("\n") == 0  # only the bad one
+
+
+def test_meganerf2colmap(tmp_path):
+    """Mega-NeRF metadata -> COLMAP sparse model round trip
+    (reference utils/meganerf2colmap.py pose conventions)."""
+    import subprocess, sys
+    import torch
+    from PIL import Image
+
+    root = tmp_path / "mega"
+    rng = np.random.RandomState(0)
+    root.mkdir()
+    torch.save({"pose_scale_factor": 2.0,
+                "origin_drb": torch.tensor([1.0, 2.0, 3.0])},
+               str(root / "coordinates.pt"))
+    for split, n in (("train", 3), ("val", 1)):
+        (root / split / "metadata").mkdir(parents=True)
+        (root / split / "rgbs").mkdir(parents=True)
+        for i in range(n):
+            c2w = np.eye(4)[:3]
+            c2w = c2w + rng.randn(3, 4) * 0.01
+            torch.save({"c2w": torch.tensor(c2w, dtype=torch.float),
+                        "intrinsics": torch.tensor([50., 50., 16., 12.]),
+                        "W": 32, "H": 24},
+                       str(root / split / "metadata" / f"{split}{i}.pt"))
+            Image.fromarray(np.zeros((24, 32, 3), np.uint8)).save(
+                str(root / split / "rgbs" / f"{split}{i}.jpg"))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "tools/meganerf2colmap.py", str(root),
+         "--seed-points", "500"],
+        capture_output=True, text=True, cwd=repo,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-1500:]
+
+    from gsl_tpu.data.colmap_io import read_model
+    model = read_model(str(root / "colmap" / "sparse" / "0"))
+    assert len(model.images) == 4
+    assert len(model.cameras) == 1
+    assert model.points_xyz.shape == (500, 3)
+    cam = next(iter(model.cameras.values()))
+    assert cam.model == "PINHOLE" and cam.width == 32
