@@ -24,6 +24,7 @@ import time
 
 BASELINE_PIXELS_PER_S = 1.0e8
 METRIC = "pixels/s/chip fwd+bwd @1M gaussians 1080p"
+LAST_RECORD = {}
 
 
 def emit(value, vs_baseline, error=None):
@@ -35,6 +36,8 @@ def emit(value, vs_baseline, error=None):
     }
     if error is not None:
         rec["error"] = error
+    LAST_RECORD.clear()
+    LAST_RECORD.update(rec)
     print(json.dumps(rec))
 
 
@@ -161,7 +164,38 @@ def run_bench():
          round(pixels_per_s / BASELINE_PIXELS_PER_S, 4))
 
 
-def main():
+RECORD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_RECORD.json")
+
+
+def check_regression(rec):
+    """--check mode: compare the fresh measurement against the recorded
+    number (BENCH_RECORD.json) and fail on a >20% drop — the perf
+    regression guard (VERDICT r2 'next' #7). Use --record to update the
+    recorded number after an intentional change."""
+    if rec.get("error") or not rec.get("value"):
+        print("# check skipped: no valid measurement", file=sys.stderr)
+        return 0
+    if not os.path.exists(RECORD_PATH):
+        print("# no BENCH_RECORD.json; run with --record first",
+              file=sys.stderr)
+        return 0
+    with open(RECORD_PATH) as f:
+        recorded = json.load(f)
+    ref = float(recorded.get("value", 0.0))
+    if ref <= 0:
+        return 0
+    ratio = rec["value"] / ref
+    print("# regression check: %.3g vs recorded %.3g (%.1f%%)"
+          % (rec["value"], ref, 100 * ratio), file=sys.stderr)
+    if ratio < 0.8:
+        print("# FAIL: throughput dropped >20%% vs BENCH_RECORD.json",
+              file=sys.stderr)
+        return 1
+    return 0
+
+
+def main(argv):
     ok, err = wait_for_backend()
     if not ok:
         emit(0.0, 0.0, error="backend unavailable: %s" % err)
@@ -172,8 +206,17 @@ def main():
         import traceback
         traceback.print_exc()
         emit(0.0, 0.0, error="%s: %s" % (type(e).__name__, e))
+        return 0
+    last = dict(LAST_RECORD)
+    if "--record" in argv and last.get("value"):
+        with open(RECORD_PATH, "w") as f:
+            json.dump(last, f, indent=1)
+        print("# recorded %.3g to %s" % (last["value"], RECORD_PATH),
+              file=sys.stderr)
+    if "--check" in argv:
+        return check_regression(last)
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main(sys.argv[1:]))

@@ -61,6 +61,7 @@ Pipeline:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -76,13 +77,19 @@ from .rasterize_reference import (ALPHA_THRESHOLD, MAX_ALPHA,
 
 BIG_I32 = 2 ** 30          # python int: jnp constants would become tracers
 BIG_F32 = float(2 ** 30)
-EXPAND_BLOCK = 512         # slots per expand/reduce grid step
+# Block sizes are env-overridable for on-TPU sweeps (tools/profile_stages.py)
+EXPAND_BLOCK = int(os.environ.get("GSL_EXPAND_BLOCK", "512"))
+                           # slots per expand grid step
 WINDOW = 2 * EXPAND_BLOCK  # aligned gaussian-table window (>= BLOCK+1 + 511)
-RED_B = 512                # reduce-kernel slot block (256 measured slower:
+RED_B = int(os.environ.get("GSL_RED_B", "512"))
+                           # reduce-kernel slot block (256 measured slower:
                            # grid overhead beats the halved one-hot matmul)
-RED_W = 5 * 128            # reduce-kernel gaussian window (>= RED_B + 8)
+RED_W = int(os.environ.get("GSL_RED_W", str(-(-(RED_B + 8) // 128) * 128)))
+                           # reduce-kernel gaussian window (>= RED_B + 8,
+                           # multiple of 128)
 TABLE_D = 16               # per-gaussian table lanes (11 + C, C <= 5)
-STREAM_BLOCK = 1024        # slots per fwd/bwd grid step (8 inner sub-chunks);
+STREAM_BLOCK = int(os.environ.get("GSL_STREAM_BLOCK", "1024"))
+                           # slots per fwd/bwd grid step (8 inner sub-chunks);
                            # amortizes per-grid-step DMA/launch overhead
 STP_WINDOW = 16            # StopThePop per-pixel resort window (exact
                            # within-window ordering; global key order across
@@ -197,6 +204,7 @@ def _expand_kernel(
     out_ref,                    # [TABLE_D, EXPAND_BLOCK]
     *, n_channels: int, tile_size: int, tiles_x: int, tiles_y: int,
     depth_bits: int, tile_based_culling: bool, stp_resort: bool,
+    emit_slotid: bool = False,
 ):
     b = pl.program_id(0)
     B = EXPAND_BLOCK
@@ -295,7 +303,10 @@ def _expand_kernel(
 
     # per-row writes (Mosaic-friendly; no sublane concat/transpose)
     out_ref[0:1, :] = lax.bitcast_convert_type(key, jnp.float32)
-    out_ref[1:2, :] = gid
+    # scatter-reduce mode carries the expansion SLOT id instead of the
+    # gaussian id (gid is re-derived in expansion order from the offsets);
+    # slot ids < 2^24 are exact in f32
+    out_ref[1:2, :] = s if emit_slotid else gid
     out_ref[2:8 + n_channels, :] = rowT[5:11 + n_channels, :]  # mx my a b c op ch..
     base_rows = 8 + n_channels
     if stp_resort:
@@ -314,7 +325,7 @@ def _expand_kernel(
 def _expand_sorted(means2d, conics, opacities, channels, isects,
                    capacity, tile_size, tiles_x, tiles_y, depth_bits,
                    tile_based_culling, interpret, fast=False,
-                   stp_resort=False):
+                   stp_resort=False, emit_slotid=False):
     """Build the per-gaussian table, expand to per-slot rows, sort by
     (tile | depth). Returns sorted (keys u32, gid f32, geom [8, cap],
     color [C, cap]). With `fast`, conic/opacity/color payload rides the
@@ -365,7 +376,8 @@ def _expand_sorted(means2d, conics, opacities, channels, isects,
         functools.partial(
             _expand_kernel, n_channels=c, tile_size=tile_size,
             tiles_x=tiles_x, tiles_y=tiles_y, depth_bits=depth_bits,
-            tile_based_culling=tile_based_culling, stp_resort=stp_resort),
+            tile_based_culling=tile_based_culling, stp_resort=stp_resort,
+            emit_slotid=emit_slotid),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((TABLE_D, capacity), jnp.float32),
         interpret=interpret,
@@ -1021,6 +1033,50 @@ def _reduce_by_gid(dgeom, dcolor, gid_sorted, n, interpret, fast=False):
     return _reduce_sorted_rows(rows, gid2, n, interpret, fast)[:, :R]
 
 
+def _gid_expansion(offsets, n, capacity):
+    """Expansion-order gaussian id per slot: gid[s] = #(offsets <= s) - 1.
+
+    `offsets` (exclusive cumsum of per-gaussian slot counts, every count
+    >= 1) is strictly increasing, so one sorted scatter of markers plus a
+    cummax reconstructs the id stream without any sort."""
+    marks = jnp.zeros((capacity,), jnp.int32).at[
+        offsets.astype(jnp.int32)].max(
+        jnp.arange(n, dtype=jnp.int32), mode="drop",
+        indices_are_sorted=True, unique_indices=True)
+    return lax.cummax(marks)
+
+
+def _reduce_by_slot(dgeom, dcolor, slot_sorted, offsets, n, interpret,
+                    fast=False):
+    """Scatter-based variant of `_reduce_by_gid`: inverse-permute the
+    gradient rows back to EXPANSION order — where each gaussian's slots are
+    contiguous by construction — with one int scatter + one row gather,
+    then run the same windowed one-hot reduce. Replaces the multi-operand
+    gid sort (the single most expensive op of the backward) with two
+    permutation ops."""
+    R = 2 + dgeom.shape[0] + dcolor.shape[0]    # + the 2 recovered abs rows
+    capacity = dgeom.shape[1]
+    R_pad = TABLE_D
+
+    # inverse permutation: inv[s] = position of expansion slot s in the
+    # key-sorted stream (slot_sorted is a permutation of [0, capacity))
+    slot_i = slot_sorted.astype(jnp.int32)
+    inv = jnp.zeros((capacity,), jnp.int32).at[slot_i].set(
+        jnp.arange(capacity, dtype=jnp.int32), unique_indices=True)
+
+    grad_rows = list(dgeom) + list(dcolor)      # dmx dmy da db dc dop ch..
+    # AbsGS |d means2d| is per-slot: abs is order-independent, so it can be
+    # built before the permutation
+    rows_key = jnp.stack(
+        grad_rows[:6] + [jnp.abs(grad_rows[0]), jnp.abs(grad_rows[1])]
+        + grad_rows[6:] + [jnp.zeros((capacity,), jnp.float32)]
+        * (R_pad - R), axis=1)                  # [cap, R_pad]
+    rows = jnp.take(rows_key, inv, axis=0).T    # [R_pad, cap] exp. order
+
+    gid_exp = _gid_expansion(offsets, n, capacity).astype(jnp.float32)
+    return _reduce_sorted_rows(rows, gid_exp, n, interpret, fast)[:, :R]
+
+
 def _reduce_sorted_rows(rows, gid2, n, interpret, fast=False):
     """Windowed one-hot group-by of gid-SORTED rows [R_pad<=16, cap] ->
     per-gaussian sums [N, R_pad]. Shared by the 3DGS and surfel reduces;
@@ -1081,12 +1137,12 @@ def _image_to_tiles(img, tiles_y, tiles_x, ts):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15))
 def rasterize_pallas(means2d, conics, opacities, channels, absgrad_tap,
                      isects, img_height, img_width, tile_size=16, chunk=128,
                      interpret=False, capacity=None,
                      tile_based_culling=False, fast=False,
-                     stp_resort=False):
+                     stp_resort=False, scatter_reduce=None):
     """Rasterize with the Pallas TPU kernels.
 
     Returns (channels_img [H, W, C] WITHOUT background blending,
@@ -1102,19 +1158,30 @@ def rasterize_pallas(means2d, conics, opacities, channels, absgrad_tap,
     """
     out, _ = _fwd_impl(means2d, conics, opacities, channels, isects,
                        img_height, img_width, tile_size, chunk, interpret,
-                       capacity, tile_based_culling, fast, stp_resort)
+                       capacity, tile_based_culling, fast, stp_resort,
+                       scatter_reduce)
     return out
 
 
 def _resolve_capacity(n, capacity):
     if capacity is None:
         capacity = 4 * n
-    return -(-capacity // STREAM_BLOCK) * STREAM_BLOCK
+    # all three block sizes are powers of two, so the max is their lcm
+    blk = max(STREAM_BLOCK, RED_B, EXPAND_BLOCK)
+    return -(-capacity // blk) * blk
+
+
+def _resolve_scatter_reduce(scatter_reduce):
+    if scatter_reduce is None:
+        return os.environ.get("GSL_SCATTER_REDUCE", "0") == "1"
+    return bool(scatter_reduce)
 
 
 def _fwd_impl(means2d, conics, opacities, channels, isects,
               img_height, img_width, tile_size, chunk, interpret,
-              capacity, tile_based_culling, fast=False, stp_resort=False):
+              capacity, tile_based_culling, fast=False, stp_resort=False,
+              scatter_reduce=None):
+    scatter_reduce = _resolve_scatter_reduce(scatter_reduce)
     tiles_x = -(-img_width // tile_size)
     tiles_y = -(-img_height // tile_size)
     n_tiles = tiles_x * tiles_y
@@ -1124,10 +1191,12 @@ def _fwd_impl(means2d, conics, opacities, channels, isects,
     depth_bits = 32 - tile_bits
 
     with jax.named_scope("gs_expand_sort"):
+        # in scatter-reduce mode `gid_sorted` carries the expansion SLOT
+        # id of each sorted position instead of the gaussian id
         sorted_keys, gid_sorted, geom_s, color_s, stp_s = _expand_sorted(
             means2d, conics, opacities, channels, isects, capacity,
             tile_size, tiles_x, tiles_y, depth_bits, tile_based_culling,
-            interpret, fast, stp_resort)
+            interpret, fast, stp_resort, emit_slotid=scatter_reduce)
     with jax.named_scope("gs_schedule"):
         sched = _build_schedule(sorted_keys, n_tiles, depth_bits, capacity,
                                 STREAM_BLOCK)
@@ -1157,17 +1226,17 @@ def _fwd_impl(means2d, conics, opacities, channels, isects,
 def _rasterize_fwd(means2d, conics, opacities, channels, absgrad_tap,
                    isects, img_height, img_width, tile_size, chunk,
                    interpret, capacity, tile_based_culling, fast,
-                   stp_resort):
+                   stp_resort, scatter_reduce):
     (out, alpha), res = _fwd_impl(
         means2d, conics, opacities, channels, isects, img_height, img_width,
         tile_size, chunk, interpret, capacity, tile_based_culling, fast,
-        stp_resort)
+        stp_resort, scatter_reduce)
     return (out, alpha), res + (isects,)
 
 
 def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
-                   capacity, tile_based_culling, fast, stp_resort, res,
-                   cotangents):
+                   capacity, tile_based_culling, fast, stp_resort,
+                   scatter_reduce, res, cotangents):
     (geom_s, color_s, stp_s, gid_sorted, sched, tfin_t, istop_t, n_real, n,
      isects) = res
     g_out, g_alpha = cotangents
@@ -1192,8 +1261,12 @@ def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
     dcolor_s = jnp.where(live, dcolor_s, 0.0)
 
     with jax.named_scope("gs_grad_reduce"):
-        summed = _reduce_by_gid(dgeom_s, dcolor_s, gid_sorted, n, interpret,
-                                fast)
+        if _resolve_scatter_reduce(scatter_reduce):
+            summed = _reduce_by_slot(dgeom_s, dcolor_s, gid_sorted,
+                                     isects.offsets, n, interpret, fast)
+        else:
+            summed = _reduce_by_gid(dgeom_s, dcolor_s, gid_sorted, n,
+                                    interpret, fast)
     # gaussians truncated entirely out of the slot budget have no window in
     # the reduce pass: their output rows are uninitialized -> zero them
     summed = jnp.where((isects.offsets < capacity_r)[:, None], summed, 0.0)

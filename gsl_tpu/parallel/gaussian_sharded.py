@@ -125,7 +125,8 @@ def make_mp_train_step(
     # off-TPU (e.g. the 8-virtual-device CPU dryrun) the Pallas kernels run
     # in interpret mode so the sharded pallas path stays exercisable
     interpret = use_pallas and jax.default_backend() != "tpu"
-    pallas_cap = -(-isect_capacity // 1024) * 1024
+    from ..ops.rasterize_pallas import _resolve_capacity
+    pallas_cap = _resolve_capacity(0, isect_capacity)
 
     def device_step(params, alive, cams, gts, bg):
         # leaves here are per-device shards:

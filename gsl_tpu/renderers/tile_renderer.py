@@ -195,7 +195,8 @@ class TileRenderer:
         if use_pallas:
             # capacity rounding must match the rasterizer's (multiple of the
             # stream block) so n_dropped stays consistent
-            isect_capacity = -(-isect_capacity // 1024) * 1024
+            from ..ops.rasterize_pallas import _resolve_capacity
+            isect_capacity = _resolve_capacity(0, isect_capacity)
             with jax.named_scope("gs_isect"):
                 isects_p = isect_encode_padded(
                     proj, img_height, img_width, cfg.tile_size,

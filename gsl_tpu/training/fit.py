@@ -57,6 +57,13 @@ class FitConfig:
     training quality (+1.3dB on the synthetic e2e benchmark) at modest
     cost — the hot Pallas kernels set their own precision explicitly."""
     tensorboard: bool = False
+    logger: str = "none"
+    """experiment logger: 'none' | 'tensorboard' | 'wandb' (reference
+    --logger, internal/cli.py:112-134); the metrics CSV is always written.
+    `tensorboard: true` is kept as an alias for logger=tensorboard."""
+    log_val_images: int = 4
+    """log up to this many GT|render validation panels per split to the
+    chosen logger (reference gaussian_splatting.py:584-620)"""
     lg_prune_steps: Sequence[int] = ()
     """LightGaussian importance-prune steps
     (reference gaussian_splatting.py:399-444)"""
@@ -237,13 +244,10 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
 
     loader = iter(DataLoader(dataset, seed=cfg.seed, skip=start_step - 1))
 
-    tb_writer = None
-    if cfg.tensorboard:
-        try:
-            from torch.utils.tensorboard import SummaryWriter
-            tb_writer = SummaryWriter(os.path.join(cfg.output_dir, "tb"))
-        except Exception as e:
-            print(f"[fit] tensorboard unavailable: {e}")
+    from .loggers import make_logger
+    exp_logger = make_logger(
+        "tensorboard" if cfg.tensorboard and cfg.logger in ("none", "")
+        else cfg.logger, cfg.output_dir)
 
     training_viewer = None
     if cfg.viewer:
@@ -335,10 +339,9 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
             logger.writerow([step, float(scalars["loss"]), n_g,
                              round(cfg.log_interval / dt, 2)])
             log_f.flush()
-            if tb_writer is not None:
-                tb_writer.add_scalar("train/loss", float(scalars["loss"]),
-                                     step)
-                tb_writer.add_scalar("train/n_gaussians", n_g, step)
+            exp_logger.log_scalars(
+                {"train/loss": float(scalars["loss"]),
+                 "train/n_gaussians": n_g}, step)
 
         if step in cfg.save_iterations:
             save_at(step)
@@ -350,15 +353,23 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
 
     results = None
     if val_at_end and len(outputs.val_set) > 0:
-        results = validate(trainer, state, outputs, cfg)
+        results = validate(trainer, state, outputs, cfg,
+                           exp_logger=exp_logger)
+        exp_logger.log_scalars(
+            {f"val/{k}": v for k, v in results.items()
+             if isinstance(v, float) and v == v}, int(state.step))
+    exp_logger.finish()
     return state, results
 
 
 def validate(trainer: Trainer, state: TrainState,
              outputs: DataParserOutputs, cfg: FitConfig,
-             split: str = "val", save_images: bool = False):
+             split: str = "val", save_images: bool = False,
+             exp_logger=None):
     """Per-image PSNR/SSIM + CSV with MEAN row
-    (reference gaussian_splatting.py:546-572)."""
+    (reference gaussian_splatting.py:546-572). With an `exp_logger`, the
+    first `cfg.log_val_images` GT|render panels are also logged
+    (reference logs them to TB/W&B, gaussian_splatting.py:584-620)."""
     image_set = (outputs.val_set if split == "val" else outputs.test_set)
     bg = jnp.asarray(trainer.config.background_color, jnp.float32)
     dataset = CachedDataset(image_set, background=np.asarray(bg, np.float32))
@@ -395,12 +406,18 @@ def validate(trainer: Trainer, state: TrainState,
         lp = (float(lpips_fn(render, gt))
               if lpips_fn is not None else None)
         rows.append([name, psnr, s, lp])
-        if save_images:
-            from PIL import Image
+        log_this = (exp_logger is not None
+                    and i < getattr(cfg, "log_val_images", 0))
+        if save_images or log_this:
             side = np.concatenate([img, np.asarray(render)], axis=1)
             side = (np.clip(side, 0, 1) * 255).astype(np.uint8)
-            Image.fromarray(side).save(
-                os.path.join(img_dir, name.replace("/", "_") + ".png"))
+            if save_images:
+                from PIL import Image
+                Image.fromarray(side).save(
+                    os.path.join(img_dir, name.replace("/", "_") + ".png"))
+            if log_this:
+                exp_logger.log_image(f"{split}/{name}", side,
+                                     int(state.step))
 
     metrics_dir = os.path.join(cfg.output_dir, "metrics")
     os.makedirs(metrics_dir, exist_ok=True)

@@ -97,3 +97,40 @@ def test_fit_e2e_blender_style(tmp_path):
         "point_cloud.ply"))
     assert os.path.isfile(os.path.join(str(tmp_path / "out"), "metrics",
                                        "val.csv"))
+
+
+def test_tensorboard_logger_images(tmp_path):
+    """logger=tensorboard: scalars land in tb/ event files and validation
+    panels are logged (reference --logger, internal/cli.py:112-134)."""
+    import pytest
+    pytest.importorskip("torch.utils.tensorboard")
+    _make_dataset(str(tmp_path), n_views=4)
+    cfg = {
+        "data": {"parser": {"class_path": "Blender",
+                            "init_args": {"path": str(tmp_path),
+                                          "random_point_count": 300,
+                                          "white_background": False}}},
+        "model": {
+            "gaussian": {"sh_degree": 0},
+            "renderer": {"init_args": {"max_per_tile": 256, "chunk": 32,
+                                       "min_isect_capacity": 8192}},
+            "density": {"init_args": {"densify_from_iter": 10000}},
+        },
+        "trainer": {"max_steps": 6},
+        "fit": {"max_steps": 6, "output_dir": str(tmp_path / "out"),
+                "min_capacity": 1024, "save_iterations": [],
+                "save_ply": False, "resume": "never"},
+    }
+    trainer, dataparser_cfg, fit_cfg = build_components(cfg)
+    fit_cfg.logger = "tensorboard"
+    fit_cfg.log_interval = 2
+    fit_cfg.log_val_images = 1
+    outputs = dataparser_cfg.instantiate().get_outputs()
+    outputs.val_set.image_names[:] = outputs.train_set.image_names
+    state, results = fit(trainer, outputs, fit_cfg, val_at_end=True)
+    tb_dir = os.path.join(str(tmp_path / "out"), "tb")
+    assert os.path.isdir(tb_dir) and os.listdir(tb_dir)
+    sz = sum(os.path.getsize(os.path.join(tb_dir, f))
+             for f in os.listdir(tb_dir))
+    # an image summary makes the event file far larger than scalars alone
+    assert sz > 2000, sz

@@ -229,3 +229,29 @@ def test_stp_per_pixel_resort():
     np.testing.assert_allclose(np.asarray(img_plain),
                                np.asarray(oracle([2.0, 2.05])), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_scatter_reduce_matches_sort_reduce():
+    """scatter_reduce=True (inverse-permute grads to expansion order, no
+    gid sort) produces the same forward image and the same input gradients
+    as the sort-based reduce, up to f32 summation-order noise."""
+    proj, opac, colors = _project(500, 7)
+    isects = isect_encode_padded(proj, H, W, TS, capacity=8192, chunk=CHUNK)
+
+    def loss(scatter, m, c, o, col, tap):
+        img, alpha = rasterize_pallas(
+            m, c, o, col, tap, isects, H, W, TS, CHUNK, True,
+            8192, False, False, False, scatter)
+        return jnp.sum(img ** 2) + jnp.sum(alpha ** 2)
+
+    tap = jnp.zeros_like(proj.means2d)
+    args = (proj.means2d, proj.conics, opac, colors, tap)
+    ls = loss(False, *args)
+    lc = loss(True, *args)
+    np.testing.assert_allclose(float(ls), float(lc), rtol=1e-6)
+
+    gs = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 2, 3, 4))(*args)
+    gc = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(gs, gc):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
