@@ -427,6 +427,108 @@ def _expand_sorted(means2d, conics, opacities, channels, isects,
     return sorted_keys, gid_sorted, geom_s, color_s, stp_s
 
 
+def _expand_sorted_xla(means2d, conics, opacities, channels, isects,
+                       capacity, tile_size, tiles_x, tiles_y, depth_bits,
+                       tile_based_culling, stp_resort=False,
+                       emit_slotid=False):
+    """Pure-XLA variant of `_expand_sorted`: gather-based instead of
+    window-kernel-based. Enumerates slots elementwise (gid via
+    `_gid_expansion`, per-gaussian fields via [cap]-sized gathers), sorts
+    only (key, slot_id) — 2 operands instead of 8-10 — and gathers the
+    geometry/color payload AFTER the sort by gaussian id. Whether this
+    beats the payload-carrying sort is a pure gather-vs-sort throughput
+    question; select with GSL_EXPAND_MODE=xla."""
+    n, c = channels.shape
+    s = jnp.arange(capacity, dtype=jnp.int32)
+    gid_exp = _gid_expansion(isects.offsets, n, capacity)        # [cap]
+
+    def gat(col):
+        return jnp.take(col, gid_exp, axis=0)
+
+    offs = gat(isects.offsets)
+    local = s - offs
+    rminx = gat(isects.rect_minx)
+    rminy = gat(isects.rect_miny)
+    w_signed = gat(isects.rect_w_signed)
+    depth = gat(isects.depths)
+    w_use = jnp.maximum(w_signed, 1)
+    t_y = jnp.minimum(rminy + local // w_use, tiles_y - 1)
+    t_x = rminx + local % w_use
+
+    mx = gat(means2d[:, 0])
+    my = gat(means2d[:, 1])
+    key_depth = depth
+    if stp_resort:
+        ts_f = jnp.float32(tile_size)
+        kzx = gat(isects.depth_grads[:, 0])
+        kzy = gat(isects.depth_grads[:, 1])
+        tcx = (t_x.astype(jnp.float32) + 0.5) * ts_f
+        tcy = (t_y.astype(jnp.float32) + 0.5) * ts_f
+        key_depth = depth + kzx * (tcx - mx) + kzy * (tcy - my)
+
+    tile = (t_y * tiles_x + t_x).astype(jnp.uint32)
+    dbits = lax.bitcast_convert_type(jnp.maximum(key_depth, 0.0),
+                                     jnp.uint32)
+    key = (tile << depth_bits) | (dbits >> (32 - depth_bits))
+    total = jnp.minimum(isects.total_padded, capacity)
+    invalid = (w_signed < 0) | (s >= total)
+
+    if tile_based_culling:
+        ca = gat(lax.stop_gradient(conics[:, 0]))
+        cb = gat(lax.stop_gradient(conics[:, 1]))
+        cc = gat(lax.stop_gradient(conics[:, 2]))
+        op = gat(lax.stop_gradient(opacities))
+        ts_f = jnp.float32(tile_size)
+        xlo = t_x.astype(jnp.float32) * ts_f - mx
+        xhi = xlo + ts_f
+        ylo = t_y.astype(jnp.float32) * ts_f - my
+        yhi = ylo + ts_f
+
+        def sig(dx, dy):
+            return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+        def edge_x(dx):
+            dy = jnp.clip(-cb * dx / jnp.maximum(cc, 1e-12), ylo, yhi)
+            return sig(dx, dy)
+
+        def edge_y(dy):
+            dx = jnp.clip(-cb * dy / jnp.maximum(ca, 1e-12), xlo, xhi)
+            return sig(dx, dy)
+
+        sigma_min = jnp.minimum(
+            jnp.minimum(edge_x(xlo), edge_x(xhi)),
+            jnp.minimum(edge_y(ylo), edge_y(yhi)))
+        inside = (xlo <= 0) & (xhi >= 0) & (ylo <= 0) & (yhi >= 0)
+        sigma_min = jnp.where(inside, 0.0, jnp.maximum(sigma_min, 0.0))
+        peak = op * jnp.exp(-sigma_min)
+        invalid = invalid | (peak < 1.0 / 255.0)
+
+    key = jnp.where(invalid, jnp.uint32(0xFFFFFFFF), key)
+    sorted_keys, slot_sorted = lax.sort((key, s), num_keys=1,
+                                        is_stable=True)
+    gid_sorted_i = jnp.take(gid_exp, slot_sorted, axis=0)
+
+    # payload gathered AFTER the sort, straight from the [N]-sized inputs
+    table = jnp.stack(
+        [means2d[:, 0], means2d[:, 1],
+         conics[:, 0], conics[:, 1], conics[:, 2], opacities,
+         jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32)]
+        + [channels[:, i] for i in range(c)], axis=1)     # [N, 8 + c]
+    rows_s = jnp.take(table, gid_sorted_i, axis=0).T      # [8 + c, cap]
+    geom_s = rows_s[:8]
+    color_s = rows_s[8:]
+    stp_s = None
+    if stp_resort:
+        stp_tab = jnp.stack(
+            [isects.depths, isects.depth_grads[:, 0],
+             isects.depth_grads[:, 1]]
+            + [jnp.zeros((n,), jnp.float32)] * 5, axis=1)
+        stp_s = jnp.take(stp_tab, gid_sorted_i, axis=0).T  # [8, cap]
+    second = (slot_sorted.astype(jnp.float32) if emit_slotid
+              else gid_sorted_i.astype(jnp.float32))
+    return sorted_keys, second, geom_s, color_s, stp_s
+
+
 # ---------------------------------------------------------------------------
 # chunk schedule over the SORTED stream (aligned blocks, [G]-sized XLA)
 # ---------------------------------------------------------------------------
@@ -1193,10 +1295,20 @@ def _fwd_impl(means2d, conics, opacities, channels, isects,
     with jax.named_scope("gs_expand_sort"):
         # in scatter-reduce mode `gid_sorted` carries the expansion SLOT
         # id of each sorted position instead of the gaussian id
-        sorted_keys, gid_sorted, geom_s, color_s, stp_s = _expand_sorted(
-            means2d, conics, opacities, channels, isects, capacity,
-            tile_size, tiles_x, tiles_y, depth_bits, tile_based_culling,
-            interpret, fast, stp_resort, emit_slotid=scatter_reduce)
+        if os.environ.get("GSL_EXPAND_MODE", "kernel") == "xla":
+            sorted_keys, gid_sorted, geom_s, color_s, stp_s = \
+                _expand_sorted_xla(
+                    means2d, conics, opacities, channels, isects, capacity,
+                    tile_size, tiles_x, tiles_y, depth_bits,
+                    tile_based_culling, stp_resort,
+                    emit_slotid=scatter_reduce)
+        else:
+            sorted_keys, gid_sorted, geom_s, color_s, stp_s = \
+                _expand_sorted(
+                    means2d, conics, opacities, channels, isects, capacity,
+                    tile_size, tiles_x, tiles_y, depth_bits,
+                    tile_based_culling, interpret, fast, stp_resort,
+                    emit_slotid=scatter_reduce)
     with jax.named_scope("gs_schedule"):
         sched = _build_schedule(sorted_keys, n_tiles, depth_bits, capacity,
                                 STREAM_BLOCK)

@@ -255,3 +255,29 @@ def test_scatter_reduce_matches_sort_reduce():
     for a, b in zip(gs, gc):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_xla_expand_matches_kernel_expand(monkeypatch):
+    """GSL_EXPAND_MODE=xla (gather-based expand, 2-operand sort) produces
+    identical forward images and gradients to the windowed expand kernel,
+    in both reduce modes and with tile culling + stp on."""
+    proj, opac, colors = _project(500, 11)
+    isects = isect_encode_padded(proj, H, W, TS, capacity=8192, chunk=CHUNK)
+
+    def loss(m, c, o, col):
+        img, alpha = rasterize_pallas(
+            m, c, o, col, jnp.zeros_like(m), isects, H, W, TS, CHUNK, True,
+            8192, True, False, True, True)
+        return jnp.sum(img ** 2) + jnp.sum(alpha ** 2)
+
+    args = (proj.means2d, proj.conics, opac, colors)
+    monkeypatch.delenv("GSL_EXPAND_MODE", raising=False)
+    lk = float(loss(*args))
+    gk = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+    monkeypatch.setenv("GSL_EXPAND_MODE", "xla")
+    lx = float(loss(*args))
+    gx = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+    np.testing.assert_allclose(lx, lk, rtol=1e-6)
+    for a, b in zip(gk, gx):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
