@@ -65,22 +65,26 @@ def main():
     results = []
 
     def timeit(name, f, *a):
-        """f(*a, bias) -> pytree. Chained-bias timing: iteration i+1
-        consumes a zero scalar derived from iteration i's first leaf, so
-        executions serialize on-device; one fetch at the end."""
-        jf = jax.jit(f)
-        out = jax.block_until_ready(jf(*a, jnp.zeros(())))  # compile
-        t0 = time.perf_counter()
-        bias = jnp.zeros(())
-        for _ in range(args.iters):
-            out = jf(*a, bias)
+        """f(*a, bias) -> pytree. Chained-bias timing INSIDE one jit: a
+        lax.scan runs all iterations on-device, each chained on a zero
+        scalar derived from the previous output's first leaf, so the k
+        executions serialize with NO per-iteration host dispatch. (A
+        host-side dispatch loop pays a tunnel round-trip per iteration on
+        this environment — measured ~15x inflation at 1M-gaussian scale.)"""
+        def body(bias, _):
+            out = f(*a, bias)
             leaf = jax.tree.leaves(out)[0]
-            bias = (leaf.reshape(-1)[0] * 0).astype(jnp.float32)
-        jax.block_until_ready(bias)
+            return (leaf.reshape(-1)[0] * 0).astype(jnp.float32), None
+
+        jf = jax.jit(lambda: jax.lax.scan(
+            body, jnp.zeros(()), None, length=args.iters)[0])
+        jax.block_until_ready(jf())  # compile
+        t0 = time.perf_counter()
+        jax.block_until_ready(jf())
         ms = (time.perf_counter() - t0) / args.iters * 1000
         results.append((name, ms))
         print("%-22s %8.2f ms" % (name, ms), flush=True)
-        return out
+        return jax.block_until_ready(jax.jit(f)(*a, jnp.zeros(())))
 
     proj = timeit("project", lambda b: project_gaussians(
         params.means + b, jnp.exp(params.scales), params.rotations,
