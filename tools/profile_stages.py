@@ -66,15 +66,23 @@ def main():
 
     def timeit(name, f, *a):
         """f(*a, bias) -> pytree. Chained-bias timing INSIDE one jit: a
-        lax.scan runs all iterations on-device, each chained on a zero
-        scalar derived from the previous output's first leaf, so the k
-        executions serialize with NO per-iteration host dispatch. (A
-        host-side dispatch loop pays a tunnel round-trip per iteration on
-        this environment — measured ~15x inflation at 1M-gaussian scale.)"""
+        lax.scan runs all iterations on-device, each chained on a tiny
+        scalar derived from ALL output leaves, so the k executions
+        serialize with NO per-iteration host dispatch. (A host-side
+        dispatch loop pays a tunnel round-trip per iteration on this
+        environment — measured ~15x inflation at 1M-gaussian scale.)
+
+        The chain scalar must be (a) not constant-foldable — `leaf * 0`
+        folds for INT leaves, letting XLA hoist the whole stage out of the
+        loop — and (b) derived from every output, or XLA dead-code-
+        eliminates the unused ones (e.g. drops operands from a sort). A
+        full sum of each leaf scaled by 1e-38 satisfies both; the bias it
+        feeds back into f's float inputs rounds away to a no-op."""
         def body(bias, _):
             out = f(*a, bias)
-            leaf = jax.tree.leaves(out)[0]
-            return (leaf.reshape(-1)[0] * 0).astype(jnp.float32), None
+            tot = sum(jnp.sum(leaf.astype(jnp.float32))
+                      for leaf in jax.tree.leaves(out))
+            return tot * jnp.float32(1e-38), None
 
         jf = jax.jit(lambda: jax.lax.scan(
             body, jnp.zeros(()), None, length=args.iters)[0])
@@ -85,6 +93,10 @@ def main():
         results.append((name, ms))
         print("%-22s %8.2f ms" % (name, ms), flush=True)
         return jax.block_until_ready(jax.jit(f)(*a, jnp.zeros(())))
+
+    # dispatch/fetch floor: one chained scan of no-op iterations. Every
+    # stage row below carries this same fixed cost / iters; subtract it.
+    timeit("(null floor)", lambda b: b + 1.0)
 
     proj = timeit("project", lambda b: project_gaussians(
         params.means + b, jnp.exp(params.scales), params.rotations,
@@ -151,11 +163,12 @@ def main():
         loss, argnums=(0, 1, 2, 3))(proj.means2d + b, proj.conics, opac,
                                     colors))
 
-    total = sum(ms for _, ms in results[:-1])
-    e2e = results[-1][1]
+    floor = results[0][1]
+    total = sum(ms - floor for _, ms in results[1:-1])
+    e2e = results[-1][1] - floor
     px = H * W
     print("-" * 34)
-    print("%-22s %8.2f ms" % ("sum of stages", total))
+    print("%-22s %8.2f ms" % ("sum of stages (-floor)", total))
     print("e2e fwd+bwd: %.1f ms  ->  %.2fM pixels/s"
           % (e2e, px / e2e / 1e3))
 
