@@ -223,18 +223,35 @@ def _expand_kernel(
 
     # one-hot gather of the table row, computed in transposed orientation
     # (fields on sublanes, slots on lanes — same layout as the output).
-    # EXACT under precision=HIGHEST.
+    # The one-hot operand is exact in bf16, so a manual 3-way bf16 split
+    # of the table values (Mosaic has no Precision.HIGH) reconstructs
+    # them to 24 mantissa bits — the selection is EXACT for f32 table
+    # data (incl. integer offsets < 2^24) at half the passes of HIGHEST.
     g_local_i = g_local.astype(jnp.int32)
     widx = lax.broadcasted_iota(jnp.int32, (B, B), 0)
-    oh0 = (widx == g_local_i).astype(jnp.float32)      # [W0, B]
-    oh1 = (widx == (g_local_i - B)).astype(jnp.float32)
-    rowT = (lax.dot_general(win0_ref[...], oh0, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=lax.Precision.HIGHEST)
-            + lax.dot_general(win1_ref[...], oh1, (((0,), (0,)), ((), ())),
+    oh0 = (widx == g_local_i).astype(jnp.bfloat16)     # [W0, B]
+    oh1 = (widx == (g_local_i - B)).astype(jnp.bfloat16)
+
+    def sel3x(win, oh):
+        w0 = win.astype(jnp.bfloat16)
+        r0 = win - w0.astype(jnp.float32)
+        w1 = r0.astype(jnp.bfloat16)
+        w2 = (r0 - w1.astype(jnp.float32)).astype(jnp.bfloat16)
+        # explicit DEFAULT: a global jax_default_matmul_precision=highest
+        # (set by fit) would otherwise demand fp32 contraction on bf16
+        # operands, which Mosaic rejects
+        acc = lax.dot_general(w0, oh, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32,
-                              precision=lax.Precision.HIGHEST)
-            )                                          # [TABLE_D, B]
+                              precision=lax.Precision.DEFAULT)
+        acc += lax.dot_general(w1, oh, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=lax.Precision.DEFAULT)
+        acc += lax.dot_general(w2, oh, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=lax.Precision.DEFAULT)
+        return acc
+
+    rowT = sel3x(win0_ref[...], oh0) + sel3x(win1_ref[...], oh1)
 
     offs = rowT[0:1, :]                                # [1, B]
     rminx = rowT[1:2, :].astype(jnp.int32)
@@ -609,8 +626,37 @@ def _pixel_coords(tile, tiles_x, tile_size):
     return px, py
 
 
-def _alphas(geom, px, py):
-    """geom [6, K] block + pixel coords [P, 1] -> alpha and aux terms."""
+def _moment_basis(tile_size):
+    """Tile-CENTER-relative degree-2 pixel basis [P, 8], split hi/lo bf16.
+
+    Rows: (1, pxc, pyc, pxc^2, pxc*pyc, pyc^2, 0, 0) with pxc, pyc in
+    [-(ts/2 - 0.5), ts/2 - 0.5]. Center-relative keeps products <= ~56
+    at tile 16, so the hi+lo bf16 split represents every basis value
+    EXACTLY (<= 11 significant bits); the basis rides the MXU against a
+    bf16 dsigma in the backward's moment matmul. Constant per kernel
+    instance (no tile dependence)."""
+    P = tile_size * tile_size
+    p = lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    half = jnp.float32(tile_size) * 0.5
+    px = (p % tile_size).astype(jnp.float32) + 0.5 - half
+    py = (p // tile_size).astype(jnp.float32) + 0.5 - half
+    one = jnp.ones_like(px)
+    z = jnp.zeros_like(px)
+    vt = jnp.concatenate(
+        [one, px, py, px * px, px * py, py * py, z, z], axis=1)
+    hi = vt.astype(jnp.bfloat16)
+    lo = (vt - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _alphas(geom, px, py, check_sigma=True):
+    """geom [6, K] block + pixel coords [P, 1] -> alpha and aux terms.
+
+    `check_sigma=False` (fast mode) drops the sigma >= 0 validity test:
+    the quadratic form is PSD so it can only fail by rounding asymmetry
+    at sigma ~ 0; exact mode keeps it for bit-parity with the oracle.
+    The factored sigma saves two [P, K] passes ((0.5*ca) and (0.5*cc)
+    are [1, K] row ops)."""
     x = geom[0:1, :]
     y = geom[1:2, :]
     ca = geom[2:3, :]
@@ -619,10 +665,15 @@ def _alphas(geom, px, py):
     op = geom[5:6, :]
     dx = x - px
     dy = y - py
-    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    if check_sigma:
+        sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    else:
+        sigma = dx * ((0.5 * ca) * dx + cb * dy) + (0.5 * cc) * dy * dy
     raw = op * jnp.exp(-sigma)
     alpha = jnp.minimum(MAX_ALPHA, raw)
-    keep = (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD)
+    keep = alpha >= ALPHA_THRESHOLD
+    if check_sigma:
+        keep = (sigma >= 0.0) & keep
     a = jnp.where(keep, alpha, 0.0)
     return a, keep, raw, dx, dy, ca[0], cb[0], cc[0], op[0], sigma
 
@@ -656,13 +707,13 @@ def _window_before(vals, d, chunk):
     return out
 
 
-def _stp_depths(stp_blk, geom_blk, px, py):
-    """Per-pixel conditional depth E[z | xy]: d_p = depth + kz.(p - mean)."""
+def _stp_depths(stp_blk, dx, dy):
+    """Per-pixel conditional depth E[z | xy]: d_p = depth + kz.(p - mean)
+    = depth - kz.(mean - p), reusing _alphas' dx/dy."""
     depth = stp_blk[0:1, :]
     kzx = stp_blk[1:2, :]
     kzy = stp_blk[2:3, :]
-    return depth + kzx * (px - geom_blk[0:1, :]) \
-        + kzy * (py - geom_blk[1:2, :])
+    return depth - kzx * dx - kzy * dy
 
 
 def _fwd_kernel(
@@ -677,7 +728,7 @@ def _fwd_kernel(
     else:
         (geom_ref, color_ref, out_ref, tfin_ref, istop_ref,
          acc, T, istop, alldone) = refs
-    prec = None if fast else lax.Precision.HIGHEST
+    prec = lax.Precision.DEFAULT if fast else lax.Precision.HIGHEST
     k = pl.program_id(0)
     tile = tile_ref[k]
     valid, first, last, lo, hi = _unpack(flags_ref[k])
@@ -700,8 +751,12 @@ def _fwd_kernel(
         # with the per-pixel resort, the across-window order is the global
         # key order (strict window-level triangle); within a window the
         # order is data-dependent per pixel (_window_before)
-        tri = (i0 // W < i1 // W) if stp else (i0 < i1)
-        lane = lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
+        tri = ((i0 // W < i1 // W) if stp else (i0 < i1)).astype(
+            jnp.float32)
+        # [1, K] lane math: the range masks depend only on the lane, so
+        # they are [1, chunk] rows broadcast into the single [P, K] mask
+        # select — not materialized at [P, K]
+        lane1 = lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         # inner walk over sub-chunks of the stream block (unrolled; the
         # grid step count — and its DMA/launch overhead — is amortized 8x).
         # Each sub-chunk is predicated on overlapping the tile's [lo, hi)
@@ -710,21 +765,21 @@ def _fwd_kernel(
             @pl.when((j * chunk < hi) & ((j + 1) * chunk > lo))
             def _(j=j):
                 sl = slice(j * chunk, (j + 1) * chunk)
-                a, *_ = _alphas(geom_ref[:, sl], px, py)
-                idx = base0 + j * chunk + lane
-                lane_sb = j * chunk + lane
-                in_rng = (lane_sb >= lo) & (lane_sb < hi)
+                a, _, _, dx, dy, *_ = _alphas(geom_ref[:, sl], px, py,
+                                              check_sigma=not fast)
+                idx = base0 + j * chunk + lane1            # [1, K]
+                lane_sb = j * chunk + lane1
+                in_rng = (lane_sb >= lo) & (lane_sb < hi)  # [1, K]
                 if not stp:
-                    in_rng = in_rng & (idx < istop[...])
+                    in_rng = in_rng & (idx < istop[...])   # [P, K]
                 a = jnp.where(in_rng, a, 0.0)
 
                 lf = jnp.log1p(-a)
-                S_exc = jnp.dot(lf, tri.astype(lf.dtype),
+                S_exc = jnp.dot(lf, tri,
                                 preferred_element_type=jnp.float32,
                                 precision=prec)
                 if stp:
-                    dpp = _stp_depths(stp_ref[:, sl], geom_ref[:, sl],
-                                      px, py)
+                    dpp = _stp_depths(stp_ref[:, sl], dx, dy)
                     S_exc = S_exc + _window_before(lf, dpp, chunk)
                 T_exc = T[...] * jnp.exp(S_exc)
 
@@ -815,7 +870,7 @@ def _bwd_kernel(
     blk_ref, tile_ref, flags_ref, rvflag_ref,
     *refs,
     tiles_x: int, tile_size: int, sb: int, chunk: int, n_channels: int,
-    stp: bool = False,
+    stp: bool = False, fast: bool = False,
 ):
     if stp:
         (geom_ref, color_ref, stp_ref, gout_ref, galpha_ref, tfin_ref,
@@ -850,17 +905,21 @@ def _bwd_kernel(
     @pl.when(active)
     def _():
         px, py = _pixel_coords(tile, tiles_x, tile_size)
+        if fast:
+            basis_hi, basis_lo = _moment_basis(tile_size)
         g = gout_ref[0]                               # [P, C]
-        lane = lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
         lane1 = lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         i0 = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
         i1 = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
         W = STP_WINDOW
         # stp: across-window order is the key order; within a window the
         # per-pixel resort replaces the triangles with _window_before sums
-        tri_ge = (i0 // W >= i1 // W) if stp else (i0 >= i1)
-        tri_gt = (i0 // W >= i1 // W) if stp else (i0 > i1)
+        tri_ge = ((i0 // W >= i1 // W) if stp else (i0 >= i1)).astype(
+            jnp.float32)
+        tri_gt = ((i0 // W >= i1 // W) if stp else (i0 > i1)).astype(
+            jnp.float32)
         istop_col = istop_ref[0, 0][:, None]
+        prec = lax.Precision.DEFAULT if fast else lax.Precision.HIGHEST
 
         # reverse inner walk over the sub-chunks of the stream block; each
         # sub-chunk predicated on overlapping [lo, hi) — skipped ones only
@@ -872,19 +931,19 @@ def _bwd_kernel(
             @pl.when(touches)
             def _(j=j, sl=sl):
                 a, keep, raw, dx, dy, ca, cb, cc, op, sigma = _alphas(
-                    geom_ref[:, sl], px, py)
-                lane_sb = j * chunk + lane
+                    geom_ref[:, sl], px, py, check_sigma=not fast)
+                lane_sb = j * chunk + lane1                # [1, K]
                 idx = base0 + lane_sb
-                in_rng = (lane_sb >= lo) & (lane_sb < hi)
-                comp = keep & in_rng & (idx < istop_col)
+                in_rng = (lane_sb >= lo) & (lane_sb < hi)  # [1, K]
+                comp = keep & (in_rng & (idx < istop_col))
                 a = jnp.where(comp, a, 0.0)
                 lf = jnp.log1p(-a)
 
-                S_inc = jnp.dot(lf, tri_ge.astype(lf.dtype),
-                                preferred_element_type=jnp.float32)
+                S_inc = jnp.dot(lf, tri_ge,
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
                 if stp:
-                    dpp = _stp_depths(stp_ref[:, sl], geom_ref[:, sl],
-                                      px, py)
+                    dpp = _stp_depths(stp_ref[:, sl], dx, dy)
                     lf_before = _window_before(lf, dpp, chunk)
                     # S_inc must sum lf over slots NOT preceding i (incl.
                     # i): full >=-window sum minus the within-window
@@ -893,11 +952,14 @@ def _bwd_kernel(
                 T_exc = T_run[...] * jnp.exp(-S_inc)
 
                 colors = color_ref[:, sl]             # [C, K]
-                cg = jnp.dot(g, colors, preferred_element_type=jnp.float32)
+                cg = jnp.dot(g, colors,
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
 
                 q = a * T_exc * cg
-                Sq_strict = jnp.dot(q, tri_gt.astype(q.dtype),
-                                    preferred_element_type=jnp.float32)
+                Sq_strict = jnp.dot(q, tri_gt,
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec)
                 if stp:
                     # strictly-after sum: full >=-window sum minus self
                     # minus the within-window predecessors
@@ -911,27 +973,77 @@ def _bwd_kernel(
                 w = a * T_exc
                 dcol = lax.dot_general(
                     g, w, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [C, K]
+                    preferred_element_type=jnp.float32,
+                    precision=prec)  # [C, K]
 
                 not_clamped = raw < MAX_ALPHA
                 dsigma = jnp.where(not_clamped, -a * dalpha, 0.0)
-                dop = jnp.where(not_clamped & comp,
-                                dalpha * jnp.exp(-sigma), 0.0)
 
-                ddx = dsigma * (ca * dx + cb * dy)
-                ddy = dsigma * (cc * dy + cb * dx)
-                dmx = jnp.sum(ddx, axis=0, keepdims=True)
-                dmy = jnp.sum(ddy, axis=0, keepdims=True)
+                if fast:
+                    # moment matmul: all six gradient rows are linear in
+                    # the degree-2 pixel moments of dsigma (S0, S1x, S1y,
+                    # S2xx, S2xy, S2yy) — two bf16 MXU matmuls against
+                    # the exactly-split tile-center basis replace ~16 VPU
+                    # passes over [P, K] (ddx/ddy products + six sublane
+                    # reductions). dsigma rides in bf16: the same 2^-9
+                    # per-slot rounding class the fast path already
+                    # accepts for the grad rows packed through the sort.
+                    ds16 = dsigma.astype(jnp.bfloat16)
+                    mom = (lax.dot_general(
+                        basis_hi, ds16, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.DEFAULT)
+                        + lax.dot_general(
+                            basis_lo, ds16, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.DEFAULT))  # [8, K]
+                    # mean coords relative to the basis center
+                    ts_f = jnp.float32(tile_size)
+                    cx = (tile % tiles_x).astype(jnp.float32) * ts_f \
+                        + 0.5 * ts_f
+                    cy = (tile // tiles_x).astype(jnp.float32) * ts_f \
+                        + 0.5 * ts_f
+                    xc = geom_ref[0:1, sl] - cx
+                    yc = geom_ref[1:2, sl] - cy
+                    ca1 = ca[None, :]
+                    cb1 = cb[None, :]
+                    cc1 = cc[None, :]
+                    s0 = mom[0:1, :]
+                    s1x = mom[1:2, :]
+                    s1y = mom[2:3, :]
+                    gx = xc * s0 - s1x                 # sum dsigma*dx
+                    gy = yc * s0 - s1y
+                    dmx = ca1 * gx + cb1 * gy
+                    dmy = cb1 * gx + cc1 * gy
+                    # sum dsigma*dx^2 = xc^2*S0 - 2*xc*S1x + S2xx, etc.
+                    da = 0.5 * (xc * xc * s0 - 2.0 * xc * s1x
+                                + mom[3:4, :])
+                    db = (xc * yc * s0 - xc * s1y - yc * s1x
+                          + mom[4:5, :])
+                    dc = 0.5 * (yc * yc * s0 - 2.0 * yc * s1y
+                                + mom[5:6, :])
+                    # dop integrand dalpha*exp(-sigma) = -dsigma/op
+                    dop = -s0 / jnp.maximum(op[None, :], 1e-30)
+                    dg_new = jnp.concatenate(
+                        [dmx, dmy, da, db, dc, dop], axis=0)  # [6, K]
+                else:
+                    dop_el = jnp.where(not_clamped & comp,
+                                       dalpha * jnp.exp(-sigma), 0.0)
+                    ddx = dsigma * (ca * dx + cb * dy)
+                    ddy = dsigma * (cc * dy + cb * dx)
+                    dg_new = jnp.concatenate([
+                        jnp.sum(ddx, axis=0, keepdims=True),
+                        jnp.sum(ddy, axis=0, keepdims=True),
+                        jnp.sum(dsigma * 0.5 * dx * dx, axis=0,
+                                keepdims=True),
+                        jnp.sum(dsigma * dx * dy, axis=0, keepdims=True),
+                        jnp.sum(dsigma * 0.5 * dy * dy, axis=0,
+                                keepdims=True),
+                        jnp.sum(dop_el, axis=0, keepdims=True),
+                    ], axis=0)                         # [6, K]
 
                 # |dmx|/|dmy| (AbsGS) are per-(tile,gaussian) = per-slot:
                 # they are recovered as abs of these rows post-sort
-                dg_new = jnp.concatenate([
-                    dmx, dmy,
-                    jnp.sum(dsigma * 0.5 * dx * dx, axis=0, keepdims=True),
-                    jnp.sum(dsigma * dx * dy, axis=0, keepdims=True),
-                    jnp.sum(dsigma * 0.5 * dy * dy, axis=0, keepdims=True),
-                    jnp.sum(dop, axis=0, keepdims=True),
-                ], axis=0)                             # [6, K]
 
                 lane1_sb = j * chunk + lane1
                 in1 = (lane1_sb >= lo) & (lane1_sb < hi)
@@ -960,7 +1072,7 @@ def _bwd_kernel(
 
 def _rasterize_bwd_raw(geom_s, color_s, gout, galpha, tfin, istop,
                        sched: ChunkSchedule, n_tiles, tiles_x, tile_size,
-                       sb, chunk, interpret, stp_s=None):
+                       sb, chunk, interpret, stp_s=None, fast=False):
     C = color_s.shape[0]
     G = sched.blk.shape[0]
     P = tile_size * tile_size
@@ -1007,7 +1119,8 @@ def _rasterize_bwd_raw(geom_s, color_s, gout, galpha, tfin, istop,
     )
     dgeom, dcolor = pl.pallas_call(
         functools.partial(_bwd_kernel, tiles_x=tiles_x, tile_size=tile_size,
-                          sb=sb, chunk=chunk, n_channels=C, stp=stp),
+                          sb=sb, chunk=chunk, n_channels=C, stp=stp,
+                          fast=fast),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((6, capacity), jnp.float32),
@@ -1049,33 +1162,29 @@ def _reduce_kernel(
     # under fast mode the gradient rows already passed through bf16 packing,
     # so default (bf16-input) matmul precision loses nothing extra; the
     # one-hot operand is exact in bf16 either way
-    prec = None if fast else lax.Precision.HIGHEST
+    prec = lax.Precision.DEFAULT if fast else lax.Precision.HIGHEST
     gid = gid_ref[...]                                  # [1, B] float
     w = gid.astype(jnp.int32) - g_base
-    widx = lax.broadcasted_iota(jnp.int32, (B, W), 1)
-    oh = (widx == w.reshape(B, 1)).astype(jnp.float32)  # [B, W]
-    sums = lax.dot_general(
-        oh, grads_ref[...], (((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec)                                 # [W, R_pad]
-
-    # relayout [W, R_pad] -> flat [RW, 128] on the MXU: row r lane 16p+i
-    # holds sums[8r + p, i]
-    ri = lax.broadcasted_iota(jnp.int32, (RW, W), 0)
-    wi = lax.broadcasted_iota(jnp.int32, (RW, W), 1)
-    ii = lax.broadcasted_iota(jnp.int32, (R_pad, 128), 0)
-    ci = lax.broadcasted_iota(jnp.int32, (R_pad, 128), 1)
-    flat = jnp.zeros((RW, 128), jnp.float32)
-    for p in range(8):
-        P = (wi == 8 * ri + p).astype(jnp.float32)      # [RW, W]
-        E = (ci == 16 * p + ii).astype(jnp.float32)     # [R_pad, 128]
-        picked = jnp.dot(P, sums, preferred_element_type=jnp.float32,
-                         precision=lax.Precision.HIGHEST
-                         if not fast else None)         # [RW, R_pad]
-        flat = flat + jnp.dot(picked, E,
-                              preferred_element_type=jnp.float32,
-                              precision=lax.Precision.HIGHEST
-                              if not fast else None)
+    # factored one-hot: w = 8q + r. The flat output layout (row q, lane
+    # group 16r) groups EXACTLY by (q, r), so summing per-(q, r) directly
+    # — 8 masked copies of the grads + 8 small [B,RW]x[R_pad,B] matmuls —
+    # both shrinks the one-hot compare 8x ([B, RW] instead of [B, W]) and
+    # eliminates the whole relayout matmul cascade: the 8 per-r results
+    # concatenate straight into the flat row.
+    wq = (w // 8).reshape(B, 1)
+    wr = (w % 8).reshape(B, 1)
+    qidx = lax.broadcasted_iota(jnp.int32, (B, RW), 1)
+    Q = (qidx == wq).astype(jnp.float32)                # [B, RW]
+    cols = []
+    for r in range(8):
+        mask_r = (wr == r).astype(jnp.float32).reshape(1, B)
+        Gr = grads_ref[...] * mask_r                    # [R_pad, B]
+        sq = lax.dot_general(
+            Q, Gr, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)                             # [RW, R_pad]
+        cols.append(sq)
+    flat = jnp.concatenate(cols, axis=1)                # [RW, 128]
 
     @pl.when(b == 0)
     def _():
@@ -1363,7 +1472,8 @@ def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
     with jax.named_scope("gs_raster_bwd"):
         dgeom_s, dcolor_s = _rasterize_bwd_raw(
             geom_s, color_s, gout_t, galpha_t, tfin_t, istop_t, sched,
-            n_tiles, tiles_x, ts, STREAM_BLOCK, chunk, interpret, stp_s)
+            n_tiles, tiles_x, ts, STREAM_BLOCK, chunk, interpret, stp_s,
+            fast)
 
     # zero the never-written garbage past the real slots
     capacity_r = geom_s.shape[1]

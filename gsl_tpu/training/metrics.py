@@ -50,7 +50,11 @@ def train_loss(pred_hwc: jnp.ndarray, gt_hwc: jnp.ndarray,
         rgb_loss = jnp.mean((pred_hwc - gt_hwc) ** 2)
     else:
         rgb_loss = jnp.mean(jnp.abs(pred_hwc - gt_hwc))
-    ssim_val = ssim(pred_hwc.transpose(2, 0, 1), gt_hwc.transpose(2, 0, 1))
+    # fast=True: banded-MXU blurs (2^-9 rounding class) — this SSIM drives
+    # the 0.2-weighted DSSIM training term; reported/validation SSIM uses
+    # the exact conv path
+    ssim_val = ssim(pred_hwc.transpose(2, 0, 1), gt_hwc.transpose(2, 0, 1),
+                    fast=True)
     loss = ((1.0 - lambda_dssim) * rgb_loss
             + lambda_dssim * (1.0 - ssim_val))
     return loss, {"rgb_diff": rgb_loss, "ssim": ssim_val, "loss": loss}

@@ -145,7 +145,7 @@ def main():
         "raster_bwd", lambda b: rp._rasterize_bwd_raw(
             geom_s + b.astype(geom_s.dtype), color_s, gout, galpha,
             tfin_t, istop_t, sched, tiles_x * tiles_y, tiles_x, ts,
-            rp.STREAM_BLOCK, args.chunk, interp))
+            rp.STREAM_BLOCK, args.chunk, interp, None, True))
 
     timeit("reduce_by_gid", lambda b: rp._reduce_by_gid(
         dgeom_s + b.astype(dgeom_s.dtype), dcolor_s, gid_s, cap,
