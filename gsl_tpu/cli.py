@@ -338,7 +338,23 @@ def main(argv=None):
         with open(os.path.join(fit_cfg.output_dir, "config.yaml"),
                   "w") as f:
             yaml.safe_dump(cfg, f)
-        state, results = fit(trainer, outputs, fit_cfg)
+        dist_spec = cfg.get("distributed")
+        if dist_spec:
+            # `distributed: true` (or a {dp, mp, compact_k, backend} dict)
+            # routes to the mesh training loop — the reference's
+            # `main.py fit --config configs/distributed.yaml` MPStrategy
+            # surface (internal/mp_strategy.py:29-129)
+            from .parallel.fit_distributed import fit_distributed
+            from .parallel.gaussian_sharded import make_mesh
+            dist = dist_spec if isinstance(dist_spec, dict) else {}
+            mesh = make_mesh(dist.get("n_devices"), dp=dist.get("dp"),
+                             mp=dist.get("mp"))
+            state, results = fit_distributed(
+                trainer, outputs, fit_cfg, mesh=mesh,
+                compact_k=dist.get("compact_k", "auto"),
+                backend=dist.get("backend", "auto"))
+        else:
+            state, results = fit(trainer, outputs, fit_cfg)
         if results:
             print(f"val: psnr={results['psnr']:.3f} "
                   f"ssim={results['ssim']:.4f}")

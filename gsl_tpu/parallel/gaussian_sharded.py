@@ -99,6 +99,7 @@ def make_mp_train_step(
     compact_k: int = None,
     backend: str = "auto",
     fast_math: bool = True,
+    with_masks: bool = False,
 ):
     """Build a jitted sharded full training step.
 
@@ -128,11 +129,13 @@ def make_mp_train_step(
     from ..ops.rasterize_pallas import _resolve_capacity
     pallas_cap = _resolve_capacity(0, isect_capacity)
 
-    def device_step(params, alive, cams, gts, bg):
+    def device_step(params, alive, cams, gts, masks, bg):
         # leaves here are per-device shards:
-        # params.* [CAP/mp, ...]; cams leaves [1, ...]; gts [1, H, W, 3]
+        # params.* [CAP/mp, ...]; cams leaves [1, ...]; gts [1, H, W, 3];
+        # masks [1, H, W] (1 = keep; reference vanilla_metrics.py:63-67)
         my_cam = jax.tree.map(lambda x: x[0], cams)
         my_gt = gts[0]
+        my_mask = masks[0] if with_masks else None
         # every mp peer's camera (this dp row renders n_mp cameras jointly)
         cams_mp = jax.tree.map(
             lambda x: lax.all_gather(x, "mp", axis=0, tiled=True), cams)
@@ -201,7 +204,8 @@ def make_mp_train_step(
                     payload[:, 6:9], isects, img_height, img_width,
                     tile_size=tile_size, max_per_tile=max_per_tile,
                     chunk=chunk, background=bg)
-            loss, _ = train_loss(img, my_gt, lambda_dssim=lambda_dssim)
+            loss, _ = train_loss(img, my_gt, mask_hw=my_mask,
+                                 lambda_dssim=lambda_dssim)
             return lax.pmean(loss, ("dp", "mp")), (radii, overflow)
 
         (loss, (radii_local, overflow)), (pgrads, tap_grads) = \
@@ -224,20 +228,100 @@ def make_mp_train_step(
     cam_spec = P(("dp", "mp"))
     grad_step = shard_map(
         device_step, mesh=mesh,
-        in_specs=(pspec, pspec, cam_spec, cam_spec, P()),
+        in_specs=(pspec, pspec, cam_spec, cam_spec, cam_spec, P()),
         out_specs=(pspec, P(), pspec, pspec, P()),
         check_vma=False,
     )
 
-    def step(params, alive, opt_state, cams, gts, bg):
+    def step(params, alive, opt_state, cams, gts, masks, bg):
         pgrads, loss, tap_grad, radii, n_overflow = grad_step(
-            params, alive, cams, gts, bg)
+            params, alive, cams, gts, masks, bg)
         # elementwise Adam keeps the mp sharding XLA propagated from pgrads
         updates, opt_state = tx.update(pgrads, opt_state, params)
         params = jax.tree.map(lambda a, u: a + u, params, updates)
         return params, opt_state, loss, tap_grad, radii, n_overflow
 
+    if not with_masks:
+        base = jax.jit(step)
+
+        def no_mask_step(params, alive, opt_state, cams, gts, bg):
+            # a [n_dev, 1, 1] dummy keeps the traced shapes static; the
+            # mask is statically None inside device_step
+            dummy = jnp.zeros((gts.shape[0], 1, 1), jnp.float32)
+            return base(params, alive, opt_state, cams, gts, dummy, bg)
+
+        return no_mask_step
     return jax.jit(step)
+
+
+def exchange_bytes_per_step(n_devices: int, n_mp: int, k_eff: int,
+                            payload_dim: int = 10) -> int:
+    """Bytes crossing the ICI per step in the splat exchange: every device
+    ships (n_mp - 1)/n_mp of its [n_mp, K, D] payload + [n_mp, K] radii
+    (the diagonal block stays local). The reference exchanges exact ragged
+    visible counts (gsplat_distributed_renderer.py:127-217); here K is the
+    static per-(camera, shard) budget, so bytes-on-wire is deterministic."""
+    per_dev = n_mp * k_eff * (payload_dim + 1) * 4
+    return n_devices * per_dev * (n_mp - 1) // n_mp
+
+
+def rebalance_permutation(alive: jnp.ndarray, n_mp: int) -> jnp.ndarray:
+    """Slot-compaction reshard: a permutation `perm` ([CAP] i32, use as
+    `new_x = x[perm]`) that redistributes ALIVE slots round-robin across the
+    n_mp equal shard segments, so every shard holds within +-1 of the mean
+    alive count.
+
+    The TPU analogue of the reference's periodic Gaussian+Adam-state
+    redistribution when max/min shard ratio exceeds ~1.1
+    (gsplat_distributed_renderer.py:423-510): with capacity-padded state the
+    per-slot compute is already uniform, so what imbalance actually costs is
+    the visible-splat compaction budget (`compact_k`) — packing alive slots
+    evenly lets every shard run the same small K."""
+    cap = alive.shape[0]
+    S = cap // n_mp
+    alive_i = alive.astype(jnp.int32)
+    n_alive = jnp.sum(alive_i)
+    # slot ids, alive first (stable: preserves relative order)
+    order = jnp.argsort(jnp.logical_not(alive), stable=True)
+    # destination layout: position p = s*S + k holds alive rank k*n_mp + s
+    # while that rank exists; remaining positions take dead slots in order
+    p = jnp.arange(cap, dtype=jnp.int32)
+    s = p // S
+    k = p % S
+    alive_rank = k * n_mp + s
+    is_alive_pos = alive_rank < n_alive
+    dead_pos_rank = jnp.cumsum(
+        jnp.logical_not(is_alive_pos).astype(jnp.int32)) - 1
+    src_sorted = jnp.where(is_alive_pos, alive_rank,
+                           n_alive + dead_pos_rank)
+    return jnp.take(order, src_sorted, axis=0)
+
+
+def apply_permutation(perm, params, alive, opt_state, density=None):
+    """Permute every [CAP, ...]-leading leaf (params + Adam moments +
+    density stats) with one gather. Under jit on mp-sharded arrays XLA
+    lowers the cross-shard moves to collectives."""
+    cap = alive.shape[0]
+
+    def mv(x):
+        if isinstance(x, jnp.ndarray) and x.ndim >= 1 \
+                and x.shape[0] == cap:
+            return jnp.take(x, perm, axis=0)
+        return x
+
+    params = jax.tree.map(mv, params)
+    alive = jnp.take(alive, perm, axis=0)
+    opt_state = jax.tree.map(mv, opt_state)
+    if density is not None:
+        density = jax.tree.map(mv, density)
+    return params, alive, opt_state, density
+
+
+def shard_alive_counts(alive: jnp.ndarray, n_mp: int) -> np.ndarray:
+    """Per-shard alive counts [n_mp] (host-side; used for the rebalance
+    trigger and the exchange-accounting log)."""
+    a = np.asarray(jax.device_get(alive)).astype(np.int64)
+    return a.reshape(n_mp, -1).sum(axis=1)
 
 
 def shard_params(mesh: Mesh, params: GaussianParams, alive, opt_state):

@@ -27,6 +27,13 @@ def main():
                     choices=["linear", "sqrt", "none"])
     ap.add_argument("--retries", type=int, default=1)
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--hosts", type=int, default=1,
+                    help="total hosts in a per-host scale-out: host i "
+                         "trains partitions with index %% hosts == i "
+                         "(the TPU analogue of one srun task per node, "
+                         "reference scripts/train-meganerf_rubble-"
+                         "partitions.slurm)")
+    ap.add_argument("--host-id", type=int, default=0)
     args = ap.parse_args()
 
     from gsl_tpu.data.dataparsers.colmap import ColmapDataParserConfig
@@ -52,6 +59,8 @@ def main():
 
     names = outputs.train_set.image_names
     for pi, part in enumerate(scene.partitions):
+        if pi % args.hosts != args.host_id:
+            continue
         run_dir = os.path.join(args.output, f"partition_{pi:03d}")
         done_marker = os.path.join(run_dir, "TRAINED")
         if os.path.exists(done_marker):
