@@ -164,6 +164,66 @@ def run_bench():
          round(pixels_per_s / BASELINE_PIXELS_PER_S, 4))
 
 
+def run_bench_surfel():
+    """2DGS line: Pallas surfel kernel fwd+bwd px/s on the bench scene
+    (reference fast path: internal/renderers/vanilla_2dgs_renderer.py).
+    Selected by --surfel; emits its own JSON record."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _synthetic_state
+    from gsl_tpu.data.cameras import make_camera
+    from gsl_tpu.models.gaussian import GaussianState
+    from gsl_tpu.renderers.surfel_renderer import SurfelRendererConfig
+    from gsl_tpu.training.metrics import train_loss
+
+    global METRIC
+    METRIC = "surfel(2DGS) pixels/s/chip fwd+bwd @1M gaussians 1080p"
+    H = int(os.environ.get("BENCH_H", "1088"))
+    W = int(os.environ.get("BENCH_W", "1920"))
+    n = int(os.environ.get("BENCH_N", "1000000"))
+    cap = 1
+    while cap < n:
+        cap <<= 1
+    state = _synthetic_state(n, cap, sh_degree=3, seed=0)
+    # 2DGS model: 2-dim scales (gaussian_2d.py)
+    params = state.params.replace(scales=state.params.scales[:, :2])
+    cam = make_camera(R=np.eye(3), T=np.zeros(3), fx=1600.0, fy=1600.0,
+                      cx=W / 2, cy=H / 2, width=W, height=H)
+    cap_i = int(os.environ.get("BENCH_SURFEL_ISECT_CAP", str(1 << 22)))
+    renderer = SurfelRendererConfig(
+        min_isect_capacity=cap_i, isect_capacity_factor=1,
+        pallas_chunk=int(os.environ.get("BENCH_CHUNK", "128")),
+    ).instantiate()
+    bg = jnp.zeros(3, jnp.float32)
+    target = jnp.full((H, W, 3), 0.4, jnp.float32)
+
+    def loss_fn(p, alive):
+        out = renderer.forward(GaussianState(params=p, alive=alive),
+                               cam, H, W, bg, 3)
+        loss, _ = train_loss(out.render, target)
+        # the 2DGS regularizers pull their grads through the extra
+        # accumulator outputs (gs2d_metrics.py: distortion + normal)
+        loss = loss + 1e-3 * jnp.mean(out.rend_dist)
+        return loss
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+    loss, grads = step(params, state.alive)
+    jax.block_until_ready(grads)
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = step(params, state.alive)
+    jax.block_until_ready(grads)
+    float(loss)
+    dt = (time.perf_counter() - t0) / iters
+    pixels_per_s = H * W / dt
+    emit(round(pixels_per_s, 1),
+         round(pixels_per_s / BASELINE_PIXELS_PER_S, 4))
+
+
 RECORD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_RECORD.json")
 
@@ -201,7 +261,10 @@ def main(argv):
         emit(0.0, 0.0, error="backend unavailable: %s" % err)
         return 0
     try:
-        run_bench()
+        if "--surfel" in argv:
+            run_bench_surfel()
+        else:
+            run_bench()
     except Exception as e:  # noqa: BLE001 - always leave a JSON record
         import traceback
         traceback.print_exc()

@@ -204,7 +204,7 @@ def _expand_kernel(
     out_ref,                    # [TABLE_D, EXPAND_BLOCK]
     *, n_channels: int, tile_size: int, tiles_x: int, tiles_y: int,
     depth_bits: int, tile_based_culling: bool, stp_resort: bool,
-    emit_slotid: bool = False,
+    emit_slotid: bool = False, emit_depth: bool = False,
 ):
     b = pl.program_id(0)
     B = EXPAND_BLOCK
@@ -334,6 +334,11 @@ def _expand_kernel(
         out_ref[base_rows + 1:base_rows + 2, :] = kzx
         out_ref[base_rows + 2:base_rows + 3, :] = kzy
         base_rows += 3
+    if emit_depth:
+        # exact-sort mode: the full f32 KEY depth rides as a secondary
+        # lax.sort key (bit pattern; >= 0 so u32 order == float order)
+        out_ref[base_rows:base_rows + 1, :] = jnp.maximum(depth, 0.0)
+        base_rows += 1
     pad_rows = TABLE_D - base_rows
     if pad_rows:
         out_ref[base_rows:, :] = jnp.zeros((pad_rows, B), jnp.float32)
@@ -342,7 +347,7 @@ def _expand_kernel(
 def _expand_sorted(means2d, conics, opacities, channels, isects,
                    capacity, tile_size, tiles_x, tiles_y, depth_bits,
                    tile_based_culling, interpret, fast=False,
-                   stp_resort=False, emit_slotid=False):
+                   stp_resort=False, emit_slotid=False, exact_sort=False):
     """Build the per-gaussian table, expand to per-slot rows, sort by
     (tile | depth). Returns sorted (keys u32, gid f32, geom [8, cap],
     color [C, cap]). With `fast`, conic/opacity/color payload rides the
@@ -394,13 +399,25 @@ def _expand_sorted(means2d, conics, opacities, channels, isects,
             _expand_kernel, n_channels=c, tile_size=tile_size,
             tiles_x=tiles_x, tiles_y=tiles_y, depth_bits=depth_bits,
             tile_based_culling=tile_based_culling, stp_resort=stp_resort,
-            emit_slotid=emit_slotid),
+            emit_slotid=emit_slotid, emit_depth=exact_sort),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((TABLE_D, capacity), jnp.float32),
         interpret=interpret,
     )(glo_blk, total[None].astype(jnp.int32), table, table)
 
     key = lax.bitcast_convert_type(rows[0], jnp.uint32)
+    n_keys = 1
+    key_ops = (key,)
+    if exact_sort:
+        # secondary key = full f32 depth bits -> the composite order is the
+        # EXACT lexicographic (tile, f32 depth), retiring the packed-key
+        # quantization entirely (the primary key's truncated depth bits are
+        # a consistent prefix of the secondary, so the schedule's tile
+        # searchsorted is unaffected)
+        drow = (11 + c) if stp_resort else (8 + c)
+        dkey = lax.bitcast_convert_type(rows[drow], jnp.uint32)
+        n_keys = 2
+        key_ops = (key, dkey)
     stp_rows = None
     if fast:
         payload = ([rows[1], rows[2], rows[3]]          # gid, mx, my (f32)
@@ -409,27 +426,30 @@ def _expand_sorted(means2d, conics, opacities, channels, isects,
             # +2 operands, STP mode only: depth stays f32 (ordering
             # precision); the two plane slopes pack as a bf16 pair
             payload += [rows[8 + c], _pack2(rows[9 + c], rows[10 + c])]
-        sorted_ops = lax.sort((key,) + tuple(payload), num_keys=1,
+        sorted_ops = lax.sort(key_ops + tuple(payload), num_keys=n_keys,
                               is_stable=True)
         sorted_keys = sorted_ops[0]
-        gid_sorted = sorted_ops[1]
+        o = n_keys
+        gid_sorted = sorted_ops[o]
         n_packed = (4 + c + 1) // 2
-        tail = _unpack_rows(sorted_ops[4:4 + n_packed], 4 + c)  # a b c op ch
-        geom_rows = [sorted_ops[2], sorted_ops[3]] + tail[:4]
+        tail = _unpack_rows(sorted_ops[o + 3:o + 3 + n_packed],
+                            4 + c)                      # a b c op ch
+        geom_rows = [sorted_ops[o + 1], sorted_ops[o + 2]] + tail[:4]
         color_rows = tail[4:]
         if stp_resort:
-            kzx_s, kzy_s = _unpack2(sorted_ops[5 + n_packed])
-            stp_rows = [sorted_ops[4 + n_packed], kzx_s, kzy_s]
+            kzx_s, kzy_s = _unpack2(sorted_ops[o + 4 + n_packed])
+            stp_rows = [sorted_ops[o + 3 + n_packed], kzx_s, kzy_s]
     else:
         n_rows = (11 + c) if stp_resort else (8 + c)
-        sorted_ops = lax.sort((key,) + tuple(rows[1:n_rows]), num_keys=1,
-                              is_stable=True)
+        sorted_ops = lax.sort(key_ops + tuple(rows[1:n_rows]),
+                              num_keys=n_keys, is_stable=True)
         sorted_keys = sorted_ops[0]
-        gid_sorted = sorted_ops[1]
-        geom_rows = list(sorted_ops[2:8])
-        color_rows = list(sorted_ops[8:8 + c])
+        o = n_keys
+        gid_sorted = sorted_ops[o]
+        geom_rows = list(sorted_ops[o + 1:o + 7])
+        color_rows = list(sorted_ops[o + 7:o + 7 + c])
         if stp_resort:
-            stp_rows = list(sorted_ops[8 + c:11 + c])
+            stp_rows = list(sorted_ops[o + 7 + c:o + 10 + c])
     zrow = jnp.zeros((2, capacity), jnp.float32)
     geom_s = jnp.concatenate(
         [jnp.stack(geom_rows, axis=0), zrow], axis=0)   # [8, cap]
@@ -1223,12 +1243,17 @@ def _reduce_by_gid(dgeom, dcolor, gid_sorted, n, interpret, fast=False):
 
     grad_rows = list(dgeom) + list(dcolor)      # dmx dmy da db dc dop ch..
     if fast:
-        payload = grad_rows[:2] + _pack_rows(grad_rows[2:])
+        # second-level packing (round-3 lever c): dmx/dmy ride bf16 too —
+        # one fewer sort operand; the 2^-9 per-slot rounding matches the
+        # class the fast path already accepts for the other gradient rows
+        # (the densify statistic is a 100-step accumulated norm, far above
+        # this noise floor — quality gate: tools/quality_benchmark.py
+        # fast-vs-exact)
+        payload = _pack_rows(grad_rows)
         ops = lax.sort((gid_sorted,) + tuple(payload), num_keys=1,
                        is_stable=True)
         gid2 = ops[0]
-        sorted_rows = [ops[1], ops[2]] + _unpack_rows(
-            ops[3:], len(grad_rows) - 2)
+        sorted_rows = _unpack_rows(ops[1:], len(grad_rows))
     else:
         ops = lax.sort((gid_sorted,) + tuple(grad_rows), num_keys=1,
                        is_stable=True)
@@ -1348,12 +1373,13 @@ def _image_to_tiles(img, tiles_y, tiles_x, ts):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15))
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
 def rasterize_pallas(means2d, conics, opacities, channels, absgrad_tap,
                      isects, img_height, img_width, tile_size=16, chunk=128,
                      interpret=False, capacity=None,
                      tile_based_culling=False, fast=False,
-                     stp_resort=False, scatter_reduce=None):
+                     stp_resort=False, scatter_reduce=None,
+                     exact_sort=False):
     """Rasterize with the Pallas TPU kernels.
 
     Returns (channels_img [H, W, C] WITHOUT background blending,
@@ -1370,7 +1396,7 @@ def rasterize_pallas(means2d, conics, opacities, channels, absgrad_tap,
     out, _ = _fwd_impl(means2d, conics, opacities, channels, isects,
                        img_height, img_width, tile_size, chunk, interpret,
                        capacity, tile_based_culling, fast, stp_resort,
-                       scatter_reduce)
+                       scatter_reduce, exact_sort)
     return out
 
 
@@ -1391,7 +1417,7 @@ def _resolve_scatter_reduce(scatter_reduce):
 def _fwd_impl(means2d, conics, opacities, channels, isects,
               img_height, img_width, tile_size, chunk, interpret,
               capacity, tile_based_culling, fast=False, stp_resort=False,
-              scatter_reduce=None):
+              scatter_reduce=None, exact_sort=False):
     scatter_reduce = _resolve_scatter_reduce(scatter_reduce)
     tiles_x = -(-img_width // tile_size)
     tiles_y = -(-img_height // tile_size)
@@ -1417,7 +1443,7 @@ def _fwd_impl(means2d, conics, opacities, channels, isects,
                     means2d, conics, opacities, channels, isects, capacity,
                     tile_size, tiles_x, tiles_y, depth_bits,
                     tile_based_culling, interpret, fast, stp_resort,
-                    emit_slotid=scatter_reduce)
+                    emit_slotid=scatter_reduce, exact_sort=exact_sort)
     with jax.named_scope("gs_schedule"):
         sched = _build_schedule(sorted_keys, n_tiles, depth_bits, capacity,
                                 STREAM_BLOCK)
@@ -1447,17 +1473,17 @@ def _fwd_impl(means2d, conics, opacities, channels, isects,
 def _rasterize_fwd(means2d, conics, opacities, channels, absgrad_tap,
                    isects, img_height, img_width, tile_size, chunk,
                    interpret, capacity, tile_based_culling, fast,
-                   stp_resort, scatter_reduce):
+                   stp_resort, scatter_reduce, exact_sort):
     (out, alpha), res = _fwd_impl(
         means2d, conics, opacities, channels, isects, img_height, img_width,
         tile_size, chunk, interpret, capacity, tile_based_culling, fast,
-        stp_resort, scatter_reduce)
+        stp_resort, scatter_reduce, exact_sort)
     return (out, alpha), res + (isects,)
 
 
 def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
                    capacity, tile_based_culling, fast, stp_resort,
-                   scatter_reduce, res, cotangents):
+                   scatter_reduce, exact_sort, res, cotangents):
     (geom_s, color_s, stp_s, gid_sorted, sched, tfin_t, istop_t, n_real, n,
      isects) = res
     g_out, g_alpha = cotangents

@@ -69,6 +69,11 @@ class TileRendererConfig:
     stp_resort: bool = False           # StopThePop per-tile depth keys:
                                        # within-tile order by the depth
                                        # plane at the tile center
+    exact_sort: bool = False           # secondary full-f32-depth sort key:
+                                       # exact lexicographic (tile, depth)
+                                       # order (one extra sort operand; the
+                                       # packed 19-bit depth prefix is the
+                                       # default)
 
     def instantiate(self) -> "TileRenderer":
         return TileRenderer(self)
@@ -206,7 +211,8 @@ class TileRenderer:
                     proj.means2d, proj.conics, opacities, ch, absgrad_tap,
                     isects_p, img_height, img_width, cfg.tile_size,
                     cfg.pallas_chunk, False, isect_capacity,
-                    cfg.tile_based_culling, cfg.fast_math, cfg.stp_resort)
+                    cfg.tile_based_culling, cfg.fast_math, cfg.stp_resort,
+                    None, cfg.exact_sort)
             img = img_nobg + (1.0 - alpha)[..., None] * bgv[None, None, :]
             n_isects, n_dropped = isects_p.n_isects, isects_p.n_dropped
         else:
@@ -232,7 +238,7 @@ class TileRenderer:
                     jnp.zeros_like(proj.means2d), isects_p, img_height,
                     img_width, cfg.tile_size, cfg.pallas_chunk, False,
                     isect_capacity, cfg.tile_based_culling, cfg.fast_math,
-                    cfg.stp_resort)
+                    cfg.stp_resort, None, cfg.exact_sort)
             else:
                 hd_img, _ = rasterize_tiles(
                     proj.means2d, proj.conics, hard_op, inv_d, isects,

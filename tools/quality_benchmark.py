@@ -1,18 +1,30 @@
-"""Real-scale quality evidence for QUALITY.md (VERDICT round-2 item 8).
+"""Converged-scale quality evidence for QUALITY.md (VERDICT round-3 ask #2).
 
 Mip-NeRF 360 is not fetchable in this environment (no egress), so the
 quality gate runs on a HARD SYNTHETIC: ground truth comes from rendering a
-dense high-frequency teacher scene (tens of thousands of anisotropic
+dense high-frequency teacher scene (up to millions of anisotropic
 gaussians, SH degree 3) from many viewpoints; a student then trains from a
-sparse random init with the FULL reference densification schedule. Because
-the target is exactly representable, the final PSNR isolates the
+sparse random init with the FULL reference densification schedule
+(30k steps, densify [500, 15k], opacity reset 3k —
+reference internal/density_controllers/vanilla_density_controller.py:14-27).
+Because the target is exactly representable, the final PSNR isolates the
 renderer+optimizer stack's fidelity at scale. Also reports:
-- fast-vs-exact mode: PSNR of the same short run in both modes,
-- depth-key tie rate: fraction of sorted slots whose quantized
-  (tile|depth) keys collide with a different true depth (VERDICT weak #7).
 
-Usage: python tools/quality_benchmark.py [--views 48] [--res 256]
-           [--steps 8000] [--teacher-n 40000] [--out QUALITY.md]
+- converged fast-vs-exact compositing delta: the SAME converged model
+  evaluated with the fast path (bf16-packed sort payloads, default-precision
+  matmuls) and the exact path (f32 + HIGHEST + exact (tile, f32-depth)
+  lexicographic sort),
+- fast-vs-exact short TRAINING runs,
+- packed-key vs exact-sort image AND gradient diff at 1M-gaussian/1080p
+  bench scale (VERDICT r3 weak #4 — the direct measurement),
+- depth-key tie rate at bench scale,
+- short STP (stp.yaml: tile culling + per-pixel resort) and 2DGS
+  (gs2d.yaml: surfel kernel) training runs through the same protocol —
+  on-TPU evidence for both kernel variants (VERDICT r3 ask #4).
+
+Usage (round-4 converged protocol, ~1 h on one v5e):
+  python tools/quality_benchmark.py --teacher-n 1000000 --res 512 \
+      --steps 30000
 """
 import argparse
 import json
@@ -23,6 +35,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+CONFIGS = os.path.join(os.path.dirname(__file__), "..", "gsl_tpu",
+                       "configs")
 
 
 def make_teacher(n, seed=0):
@@ -36,11 +51,11 @@ def make_teacher(n, seed=0):
     centers = rng.uniform(-1.5, 1.5, (60, 3))
     which = rng.randint(0, 60, n)
     means = centers[which] + rng.normal(0, 0.15, (n, 3))
-    scales = rng.uniform(-5.5, -3.5, (n, 3))
+    scales = rng.uniform(-6.5, -4.0, (n, 3))
     quats = rng.normal(size=(n, 4))
     shs_dc = rng.normal(size=(n, 1, 3)) * 0.8
     shs_rest = rng.normal(size=(n, k - 1, 3)) * 0.15
-    opac = rng.uniform(-1.0, 3.0, (n, 1))
+    opac = rng.uniform(-2.0, 2.0, (n, 1))
     params = GaussianParams(
         means=jnp.asarray(means, jnp.float32),
         scales=jnp.asarray(scales, jnp.float32),
@@ -75,105 +90,18 @@ def orbit_cameras(n_views, res, radius=4.5, seed=1):
     return cams
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--views", type=int, default=48)
-    ap.add_argument("--res", type=int, default=256)
-    ap.add_argument("--steps", type=int, default=8000)
-    ap.add_argument("--teacher-n", type=int, default=40000)
-    ap.add_argument("--fast-steps", type=int, default=1500)
-    ap.add_argument("--out", default="QUALITY.md")
-    ap.add_argument("--workdir", default="/tmp/gsl_quality")
-    args = ap.parse_args()
-
+def sort_diff_at_bench_scale():
+    """Packed-key vs exact (tile, f32-depth) lexicographic sort: image and
+    means2d-gradient diffs on the 1M-gaussian/1080p bench scene, plus the
+    adjacent-key tie rate."""
     import jax
     import jax.numpy as jnp
-    from PIL import Image
-
-    from gsl_tpu.data.dataparsers.dataparser import (DataParserOutputs,
-                                                     ImageSet, PointCloud)
-    from gsl_tpu.renderers.tile_renderer import TileRendererConfig
-    from gsl_tpu.training.density import VanillaDensityControllerConfig
-    from gsl_tpu.training.fit import FitConfig, fit, validate
-    from gsl_tpu.training.trainer import Trainer, TrainerConfig
-    from gsl_tpu.models.gaussian import VanillaGaussianConfig
-
-    os.makedirs(args.workdir, exist_ok=True)
-    t_start = time.time()
-
-    # ---- teacher renders = ground truth ----
-    teacher = make_teacher(args.teacher_n)
-    cams = orbit_cameras(args.views, args.res)
-    renderer = TileRendererConfig(min_isect_capacity=1 << 20).instantiate()
-    bg = jnp.zeros(3, jnp.float32)
-    print(f"rendering {args.views} teacher views "
-          f"({args.teacher_n} gaussians)...")
-    img_dir = os.path.join(args.workdir, "images")
-    os.makedirs(img_dir, exist_ok=True)
-    names, paths = [], []
-    render_j = jax.jit(lambda c: renderer.forward(
-        teacher, c, args.res, args.res, bg, 3).render)
-    for i, cam in enumerate(cams):
-        out_render = render_j(cam)
-        img = (np.clip(np.asarray(out_render), 0, 1) * 255).astype(np.uint8)
-        name = f"v{i:03d}.png"
-        Image.fromarray(img).save(os.path.join(img_dir, name))
-        names.append(name)
-        paths.append(os.path.join(img_dir, name))
-
-    cam_batch = jax.tree.map(lambda *xs: jnp.stack(
-        [jnp.asarray(x) for x in xs]), *cams)
-    val_idx = list(range(0, args.views, 8))
-    train_idx = [i for i in range(args.views) if i not in val_idx]
-
-    def subset(idx):
-        return ImageSet(image_names=[names[i] for i in idx],
-                        image_paths=[paths[i] for i in idx],
-                        cameras=cam_batch[np.asarray(idx)])
-
-    rng = np.random.RandomState(7)
-    pc = PointCloud(xyz=rng.uniform(-2, 2, (20000, 3)).astype(np.float32),
-                    rgb=rng.rand(20000, 3).astype(np.float32))
-    outputs = DataParserOutputs(
-        train_set=subset(train_idx), val_set=subset(val_idx),
-        test_set=subset(val_idx), point_cloud=pc, camera_extent=4.5)
-
-    def run(tag, steps, fast_math, seed=42):
-        trainer = Trainer(
-            model=VanillaGaussianConfig(sh_degree=3),
-            renderer=TileRendererConfig(min_isect_capacity=1 << 20,
-                                        fast_math=fast_math),
-            density=VanillaDensityControllerConfig(
-                densify_until_iter=int(steps * 0.5),
-                opacity_reset_interval=3000),
-            config=TrainerConfig())
-        cfg = FitConfig(max_steps=steps, output_dir=os.path.join(
-            args.workdir, tag), save_iterations=[], save_ply=False,
-            log_interval=500, resume="never", seed=seed)
-        t0 = time.time()
-        state, results = fit(trainer, outputs, cfg, val_at_end=True)
-        return {"psnr": results["psnr"], "ssim": results["ssim"],
-                "n_gaussians": int(state.gaussians.n_alive),
-                "minutes": (time.time() - t0) / 60.0}
-
-    print("== full run (fast mode) ==")
-    full = run("full", args.steps, True)
-    print(full)
-    print("== fast vs exact (short) ==")
-    fast_short = run("fast", args.fast_steps, True)
-    exact_short = run("exact", args.fast_steps, False)
-    print("fast:", fast_short, "exact:", exact_short)
-
-    # ---- depth-key tie rate at bench scale ----
-    # ties only matter WITHIN a tile (the sort key is tile|depth): run the
-    # real expand+sort on the bench scene and count adjacent sorted slots
-    # whose full packed keys collide
-    print("== depth-key tie rate ==")
     from __graft_entry__ import _synthetic_state
     from gsl_tpu.data.cameras import make_camera as mc
     from gsl_tpu.ops import rasterize_pallas as rp
     from gsl_tpu.ops.projection import project_gaussians
     from gsl_tpu.ops.sh import sh_to_rgb
+
     H, W, n = 1088, 1920, 1_000_000
     st = _synthetic_state(n, 1 << 20, sh_degree=1, seed=0)
     cam = mc(R=np.eye(3), T=np.zeros(3), fx=1600., fy=1600., cx=W / 2,
@@ -192,64 +120,253 @@ def main():
     colors = jnp.clip(sh_to_rgb(
         jnp.concatenate([p.shs_dc, p.shs_rest], 1), dirs, 1) + 0.5, 0.0,
         None)
-    keys, _, _, _ = jax.jit(lambda: rp._expand_sorted(
+    interp = jax.default_backend() != "tpu"
+
+    def render(m2d, exact):
+        img, alpha = rp.rasterize_pallas(
+            m2d, proj.conics, opac, colors, jnp.zeros_like(m2d), isects,
+            H, W, 16, 128, interp, cap_i, False, False, False, None,
+            exact)
+        return img, alpha
+
+    def loss(m2d, exact):
+        img, alpha = render(m2d, exact)
+        return jnp.sum(img * img) + jnp.sum(alpha)
+
+    img_p, _ = jax.jit(lambda: render(proj.means2d, False))()
+    img_e, _ = jax.jit(lambda: render(proj.means2d, True))()
+    g_p = jax.jit(jax.grad(lambda m: loss(m, False)))(proj.means2d)
+    g_e = jax.jit(jax.grad(lambda m: loss(m, True)))(proj.means2d)
+    di = np.abs(np.asarray(img_p) - np.asarray(img_e))
+    gp, ge = np.asarray(g_p), np.asarray(g_e)
+    dg = np.abs(gp - ge)
+    gn = np.abs(ge).mean()
+
+    # tie rate of the packed keys (adjacent sorted slots colliding)
+    keys = jax.jit(lambda: rp._expand_sorted(
         proj.means2d, proj.conics, opac, colors, isects, cap_i, 16,
-        tiles_x, tiles_y, depth_bits, False, False))()
+        tiles_x, tiles_y, depth_bits, False, interp)[0])()
     k = np.asarray(keys)
     n_real = int(np.searchsorted(k, np.uint32(tiles_x * tiles_y)
                                  << depth_bits))
     kr = k[:n_real]
     ties = float(np.mean(kr[1:] == kr[:-1]))
-    tie_stats = {"depth_bits": depth_bits, "tie_rate": ties,
-                 "n_isects": n_real}
-    print(tie_stats)
+    return {"img_max_diff": float(di.max()),
+            "img_mean_diff": float(di.mean()),
+            "px_changed_pct": float((di.max(-1) > 1 / 255).mean() * 100),
+            "grad_max_diff": float(dg.max()),
+            "grad_rel_mean_diff": float(dg.mean() / max(gn, 1e-30)),
+            "depth_bits": depth_bits, "tie_rate": ties,
+            "n_isects": n_real}
 
-    md = f"""# QUALITY — measured evidence (round 2)
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--views", type=int, default=64)
+    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=30000)
+    ap.add_argument("--teacher-n", type=int, default=1_000_000)
+    ap.add_argument("--fast-steps", type=int, default=1500)
+    ap.add_argument("--variant-steps", type=int, default=2000,
+                    help="short STP / 2DGS runs (0 = skip)")
+    ap.add_argument("--skip-sort-diff", action="store_true")
+    ap.add_argument("--out", default="QUALITY.md")
+    ap.add_argument("--workdir", default="/tmp/gsl_quality")
+    ap.add_argument("--round", default="4")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gsl_tpu.cli import build_components, load_config
+    from gsl_tpu.data.dataparsers.dataparser import (DataParserOutputs,
+                                                     ImageSet, PointCloud)
+    from gsl_tpu.renderers.tile_renderer import TileRendererConfig
+    from gsl_tpu.training.density import VanillaDensityControllerConfig
+    from gsl_tpu.training.fit import FitConfig, fit, validate
+    from gsl_tpu.training.trainer import Trainer, TrainerConfig
+    from gsl_tpu.models.gaussian import VanillaGaussianConfig
+
+    os.makedirs(args.workdir, exist_ok=True)
+    t_start = time.time()
+
+    # ---- teacher renders = ground truth ----
+    teacher = make_teacher(args.teacher_n)
+    cams = orbit_cameras(args.views, args.res)
+    t_cap = 1 << max(22, int(np.ceil(np.log2(4 * args.teacher_n))))
+    renderer = TileRendererConfig(min_isect_capacity=t_cap).instantiate()
+    bg = jnp.zeros(3, jnp.float32)
+    print(f"rendering {args.views} teacher views "
+          f"({args.teacher_n} gaussians)...", flush=True)
+    img_dir = os.path.join(args.workdir, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    names, paths = [], []
+    render_j = jax.jit(lambda c: renderer.forward(
+        teacher, c, args.res, args.res, bg, 3).render)
+    for i, cam in enumerate(cams):
+        out_render = render_j(cam)
+        img = (np.clip(np.asarray(out_render), 0, 1) * 255).astype(np.uint8)
+        name = f"v{i:03d}.png"
+        Image.fromarray(img).save(os.path.join(img_dir, name))
+        names.append(name)
+        paths.append(os.path.join(img_dir, name))
+    del teacher, render_j, renderer
+
+    cam_batch = jax.tree.map(lambda *xs: jnp.stack(
+        [jnp.asarray(x) for x in xs]), *cams)
+    val_idx = list(range(0, args.views, 8))
+    train_idx = [i for i in range(args.views) if i not in val_idx]
+
+    def subset(idx):
+        return ImageSet(image_names=[names[i] for i in idx],
+                        image_paths=[paths[i] for i in idx],
+                        cameras=cam_batch[np.asarray(idx)])
+
+    rng = np.random.RandomState(7)
+    pc = PointCloud(xyz=rng.uniform(-2, 2, (20000, 3)).astype(np.float32),
+                    rgb=rng.rand(20000, 3).astype(np.float32))
+    outputs = DataParserOutputs(
+        train_set=subset(train_idx), val_set=subset(val_idx),
+        test_set=subset(val_idx), point_cloud=pc, camera_extent=4.5)
+
+    def run(tag, steps, fast_math, seed=42, trainer=None,
+            densify_until=None):
+        trainer = trainer or Trainer(
+            model=VanillaGaussianConfig(sh_degree=3),
+            renderer=TileRendererConfig(min_isect_capacity=1 << 20,
+                                        fast_math=fast_math),
+            density=VanillaDensityControllerConfig(
+                densify_until_iter=(densify_until
+                                    or min(int(steps * 0.5), 15000)),
+                opacity_reset_interval=3000),
+            config=TrainerConfig())
+        cfg = FitConfig(max_steps=steps, output_dir=os.path.join(
+            args.workdir, tag), save_iterations=[], save_ply=False,
+            log_interval=500, resume="never", seed=seed)
+        t0 = time.time()
+        state, results = fit(trainer, outputs, cfg, val_at_end=True)
+        return state, trainer, cfg, {
+            "psnr": results["psnr"], "ssim": results["ssim"],
+            "lpips": results.get("lpips", float("nan")),
+            "n_gaussians": int(state.gaussians.n_alive),
+            "minutes": (time.time() - t0) / 60.0}
+
+    print(f"== full run: {args.steps} steps (fast mode) ==", flush=True)
+    state_f, trainer_f, cfg_f, full = run("full", args.steps, True)
+    print(full, flush=True)
+
+    # converged fast-vs-exact: evaluate the SAME converged model with the
+    # exact compositing + exact-sort renderer
+    exact_trainer = Trainer(
+        model=VanillaGaussianConfig(sh_degree=3),
+        renderer=TileRendererConfig(min_isect_capacity=1 << 20,
+                                    fast_math=False, exact_sort=True),
+        density=VanillaDensityControllerConfig(),
+        config=TrainerConfig())
+    exact_trainer.setup(state_f.gaussians, outputs.camera_extent,
+                        outputs.prune_extent)
+    conv_exact = validate(exact_trainer, state_f, outputs, cfg_f)
+    print(f"converged eval exact: {conv_exact['psnr']:.3f} dB "
+          f"(fast: {full['psnr']:.3f})", flush=True)
+
+    print("== fast vs exact (short training) ==", flush=True)
+    _, _, _, fast_short = run("fast", args.fast_steps, True)
+    _, _, _, exact_short = run("exact", args.fast_steps, False)
+    print("fast:", fast_short, "exact:", exact_short, flush=True)
+
+    # ---- kernel-variant short runs through the real presets ----
+    variants = {}
+    if args.variant_steps:
+        for preset, tag in (("stp.yaml", "stp"), ("gs2d.yaml", "gs2d")):
+            print(f"== variant run: {preset} ==", flush=True)
+            cfg_d = load_config([os.path.join(CONFIGS, preset)], {})
+            v_trainer, _, _ = build_components(cfg_d)
+            v_trainer.renderer_cfg.min_isect_capacity = 1 << 20
+            _, _, _, variants[tag] = run(
+                tag, args.variant_steps, True, trainer=v_trainer,
+                densify_until=int(args.variant_steps * 0.5))
+            print(tag, variants[tag], flush=True)
+
+    # ---- packed-key vs exact-sort diff at bench scale ----
+    sd = None
+    if not args.skip_sort_diff:
+        print("== packed vs exact sort diff @1M/1080p ==", flush=True)
+        sd = sort_diff_at_bench_scale()
+        print(sd, flush=True)
+
+    backend = jax.default_backend()
+    total_min = (time.time() - t_start) / 60
+    lp = (f"{full['lpips']:.4f}"
+          if full["lpips"] == full["lpips"] else "-")
+    md = f"""# QUALITY — measured evidence (round {args.round})
 
 Real-scene data (Mip-NeRF 360 garden) is unreachable from this
 environment (no network egress), so the quality gate runs the hard
-synthetic protocol below on REAL TPU hardware. All numbers measured, not
-projected. Generated by tools/quality_benchmark.py on
-{time.strftime('%Y-%m-%d %H:%M')} in {(time.time() - t_start) / 60:.1f} min.
+synthetic protocol below on REAL hardware (jax backend: {backend}). All
+numbers measured, not projected. Generated by tools/quality_benchmark.py
+on {time.strftime('%Y-%m-%d %H:%M')} in {total_min:.1f} min.
 
 ## Protocol
 
 Ground truth: {args.views} views at {args.res}x{args.res} rendered from a
 dense high-frequency teacher ({args.teacher_n} anisotropic SH-3
 gaussians, clustered + fine structure). Student trains from a 20k random
-point init with the full reference densification schedule (clone/split/
-prune/opacity-reset). The target is exactly representable, so final PSNR
-isolates renderer+optimizer fidelity at scale.
+point init with the FULL reference schedule: {args.steps} steps, densify
+every 100 in [500, {min(int(args.steps * 0.5), 15000)}], opacity reset
+every 3k (vanilla_density_controller.py:14-27). The target is exactly
+representable, so final PSNR isolates renderer+optimizer fidelity at
+scale.
 
 ## Results
 
 | Experiment | steps | PSNR | SSIM | final gaussians | minutes |
 |---|---|---|---|---|---|
 | full (fast mode) | {args.steps} | {full['psnr']:.2f} | {full['ssim']:.4f} | {full['n_gaussians']} | {full['minutes']:.1f} |
+| full model re-evaluated EXACT (f32/HIGHEST/exact-sort) | - | {conv_exact['psnr']:.2f} | {conv_exact['ssim']:.4f} | {full['n_gaussians']} | - |
 | short, fast mode | {args.fast_steps} | {fast_short['psnr']:.2f} | {fast_short['ssim']:.4f} | {fast_short['n_gaussians']} | {fast_short['minutes']:.1f} |
 | short, exact mode | {args.fast_steps} | {exact_short['psnr']:.2f} | {exact_short['ssim']:.4f} | {exact_short['n_gaussians']} | {exact_short['minutes']:.1f} |
+"""
+    if variants:
+        md += f"""| STP (stp.yaml: culling + per-pixel resort) | {args.variant_steps} | {variants['stp']['psnr']:.2f} | {variants['stp']['ssim']:.4f} | {variants['stp']['n_gaussians']} | {variants['stp']['minutes']:.1f} |
+| 2DGS (gs2d.yaml: Pallas surfel kernel) | {args.variant_steps} | {variants['gs2d']['psnr']:.2f} | {variants['gs2d']['ssim']:.4f} | {variants['gs2d']['n_gaussians']} | {variants['gs2d']['minutes']:.1f} |
+"""
+    md += f"""
+Converged fast-vs-exact eval delta:
+{full['psnr'] - conv_exact['psnr']:+.3f} dB on the SAME converged model
+(fast = bf16-packed sort payloads + default-precision matmuls; exact =
+f32 payloads + HIGHEST + exact (tile, f32-depth) lexicographic sort).
+Short-training delta: {fast_short['psnr'] - exact_short['psnr']:+.2f} dB.
+LPIPS (full run): {lp} (empty when no exported weights in this image).
+"""
+    if sd is not None:
+        md += f"""
+## Packed-key vs exact-sort at 1M/1080p (VERDICT r3 weak #4, direct)
 
-fast-vs-exact short-run PSNR delta:
-{fast_short['psnr'] - exact_short['psnr']:+.2f} dB (fast mode = bf16-packed
-sort payloads + default-precision transmittance matmuls; see
-gsl_tpu/ops/rasterize_pallas.py).
+Packed 32-bit key (tile | {sd['depth_bits']}-bit depth prefix) vs exact
+lexicographic (tile, full f32 depth) sort — same scene, same kernels:
 
-## Depth-key quantization (VERDICT round-1 weak #7)
+| metric | value |
+|---|---|
+| image max abs diff | {sd['img_max_diff']:.3e} |
+| image mean abs diff | {sd['img_mean_diff']:.3e} |
+| pixels changed > 1/255 | {sd['px_changed_pct']:.4f}% |
+| means2d grad max abs diff | {sd['grad_max_diff']:.3e} |
+| means2d grad mean rel diff | {sd['grad_rel_mean_diff']:.3e} |
+| adjacent-key tie rate | {sd['tie_rate'] * 100:.3f}% ({sd['n_isects']} isects) |
 
-At 1M gaussians / 1080p / 16px tiles the packed sort key keeps
-{tie_stats['depth_bits']} depth bits. Measured on the bench scene with
-the REAL expand+sort: {tie_stats['tie_rate'] * 100:.4f}% of adjacent
-sorted slots collide on the full (tile|depth) key
-({tie_stats['n_isects']} intersections). Colliding pairs fall back to
-stable (submission-order) compositing — the same fallback CUDA radix
-sorting applies to exact float ties; at this rate the image impact is
-below the fast-mode bf16 noise floor measured above.
+Colliding pairs fall back to stable (submission-order) compositing — the
+same fallback CUDA radix sorting applies to exact float ties. The
+`exact_sort` renderer flag (one extra sort operand) removes the
+quantization entirely when desired.
 """
     with open(args.out, "w") as f:
         f.write(md)
     with open(os.path.join(args.workdir, "quality.json"), "w") as f:
-        json.dump({"full": full, "fast_short": fast_short,
-                   "exact_short": exact_short, "ties": tie_stats}, f)
+        json.dump({"full": full, "conv_exact": conv_exact,
+                   "fast_short": fast_short, "exact_short": exact_short,
+                   "variants": variants, "sort_diff": sd,
+                   "backend": backend}, f, default=float)
     print(f"wrote {args.out}")
 
 
