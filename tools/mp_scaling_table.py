@@ -30,7 +30,7 @@ import numpy as np
 
 
 def time_step(n_devices: int, n: int, H: int, W: int, iters: int,
-              backend: str):
+              backend: str, compact_k=None):
     from __graft_entry__ import _synthetic_state
     from gsl_tpu.data.cameras import make_camera
     from gsl_tpu.models.gaussian import OptimizationConfig
@@ -52,15 +52,40 @@ def time_step(n_devices: int, n: int, H: int, W: int, iters: int,
     state = _synthetic_state(n, cap, sh_degree=3, seed=0)
     tx = build_gaussian_optimizer(OptimizationConfig(), 1.0)
     opt_state = tx.init(state.params)
-    cams = [make_camera(R=np.eye(3), T=np.array([0.05 * i, 0.0, 0.0]),
-                        fx=H * 1.2, fy=H * 1.2, cx=W / 2, cy=H / 2,
+    # narrow FOV so each camera sees only a fraction of the scene: the
+    # compaction comparison is meaningful only with partial visibility
+    # (real capture rigs never see every gaussian from every view)
+    cams = [make_camera(R=np.eye(3),
+                        T=np.array([0.8 * i - 0.4 * n_devices, 0.0, 0.0]),
+                        fx=H * 4.0, fy=H * 4.0, cx=W / 2, cy=H / 2,
                         width=W, height=H) for i in range(n_devices)]
     cam_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
     gts = jnp.full((n_devices, H, W, 3), 0.5, jnp.float32)
     bg = jnp.zeros(3, jnp.float32)
+    if compact_k == "auto":
+        # the auto policy of fit_distributed: 1.3x the max per-shard
+        # visible count, 512-aligned
+        from gsl_tpu.models.gaussian import GaussianState
+        from gsl_tpu.ops.projection import project_gaussians
+        gs = GaussianState(params=state.params, alive=state.alive)
+
+        @jax.jit
+        def counts():
+            def one(cam):
+                pr = project_gaussians(
+                    gs.get_means(), gs.get_scales(), gs.get_rotations(),
+                    cam.world_to_camera, cam.fx, cam.fy, cam.cx, cam.cy,
+                    W, H)
+                vis = (pr.radii > 0).astype(jnp.int32)
+                return jnp.max(jnp.sum(vis.reshape(mp, -1), axis=1))
+            return jnp.max(jax.vmap(one)(cam_batch))
+
+        compact_k = min(max(512, -(-int(1.3 * int(counts())) // 512) * 512),
+                        cap // mp)
     step = make_mp_train_step(mesh, tx, H, W, sh_degree=3,
                               isect_capacity=max(4 * cap, 1 << 14),
-                              max_per_tile=256, chunk=64, backend=backend)
+                              max_per_tile=256, chunk=64, backend=backend,
+                              compact_k=compact_k)
     params_s, alive_s, opt_s = shard_params(mesh, state.params,
                                             state.alive, opt_state)
     out = step(params_s, alive_s, opt_s, cam_batch, gts, bg)
@@ -70,7 +95,10 @@ def time_step(n_devices: int, n: int, H: int, W: int, iters: int,
         out = step(out[0], alive_s, out[1], cam_batch, gts, bg)
     jax.block_until_ready(out[0])
     dt = (time.perf_counter() - t0) / iters
-    return dt, mesh.shape, float(out[2])
+    from gsl_tpu.parallel.gaussian_sharded import exchange_bytes_per_step
+    xbytes = exchange_bytes_per_step(
+        n_devices, mp, compact_k if compact_k else cap // mp)
+    return dt, mesh.shape, float(out[2]), xbytes, int(out[5]), compact_k
 
 
 def main():
@@ -93,32 +121,42 @@ def main():
         if nd > avail:
             print(f"# skipping {nd} devices ({avail} available)")
             continue
-        dt, shape, loss = time_step(nd, args.n, args.height, args.width,
-                                    args.iters, args.backend)
-        # cameras/step scales with devices: px/s = nd * H * W / dt
-        px_s = nd * args.height * args.width / dt
-        rows.append((nd, dict(shape), dt * 1000, px_s))
-        print(f"devices={nd} mesh={dict(shape)} step={dt * 1000:.1f} ms "
-              f"pixels/s={px_s:,.0f} loss={loss:.4f}")
+        for ck in (None, "auto"):
+            dt, shape, loss, xb, ovf, k = time_step(
+                nd, args.n, args.height, args.width, args.iters,
+                args.backend, compact_k=ck)
+            # cameras/step scales with devices: px/s = nd * H * W / dt
+            px_s = nd * args.height * args.width / dt
+            rows.append((nd, dict(shape), dt * 1000, px_s,
+                         "full" if ck is None else f"K={k}", xb, ovf))
+            print(f"devices={nd} mesh={dict(shape)} "
+                  f"compact={'full' if ck is None else k} "
+                  f"step={dt * 1000:.1f} ms pixels/s={px_s:,.0f} "
+                  f"xchg={xb / 1e6:.2f}MB ovf={ovf} loss={loss:.4f}")
 
     if not rows:
         return
-    base = rows[0][3] / rows[0][0]
+    base = max(px / nd for nd, _, _, px, tag, _, _ in rows if nd == rows[0][0])
     lines = [
         "# MP scaling table (virtual CPU mesh)",
         "",
         f"Backend `{args.backend}`, {args.n} gaussians, "
         f"{args.height}x{args.width}, {args.iters} iters/point. "
         "CPU-mesh numbers measure the exchange-overhead shape, not chip "
-        "throughput (see tools/mp_scaling_table.py).",
+        "throughput (see tools/mp_scaling_table.py). Each size runs the "
+        "FULL-capacity exchange and the compacted top-K exchange "
+        "(fit_distributed's auto policy); `exchange` is bytes-on-wire "
+        "per step (gaussian_sharded.exchange_bytes_per_step), `ovf` the "
+        "splats dropped by the K budget (0 = lossless).",
         "",
-        "| devices | mesh | step ms | pixels/s | scaling eff. |",
-        "|---|---|---|---|---|",
+        "| devices | mesh | exchange mode | exchange MB/step | ovf "
+        "| step ms | pixels/s | scaling eff. |",
+        "|---|---|---|---|---|---|---|---|",
     ]
-    for nd, shape, ms, px in rows:
+    for nd, shape, ms, px, tag, xb, ovf in rows:
         eff = px / (base * nd)
-        lines.append(f"| {nd} | {shape} | {ms:.1f} | {px:,.0f} "
-                     f"| {eff * 100:.0f}% |")
+        lines.append(f"| {nd} | {shape} | {tag} | {xb / 1e6:.2f} | {ovf} "
+                     f"| {ms:.1f} | {px:,.0f} | {eff * 100:.0f}% |")
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {args.out}")
