@@ -669,6 +669,9 @@ def _moment_basis(tile_size):
     return hi, lo
 
 
+BF16_PIX = os.environ.get("GSL_BF16_PIX", "0") == "1"
+
+
 def _alphas(geom, px, py, check_sigma=True):
     """geom [6, K] block + pixel coords [P, 1] -> alpha and aux terms.
 
@@ -676,7 +679,13 @@ def _alphas(geom, px, py, check_sigma=True):
     the quadratic form is PSD so it can only fail by rounding asymmetry
     at sigma ~ 0; exact mode keeps it for bit-parity with the oracle.
     The factored sigma saves two [P, K] passes ((0.5*ca) and (0.5*cc)
-    are [1, K] row ops)."""
+    are [1, K] row ops).
+
+    GSL_BF16_PIX=1 (fast mode only): the [P, K] quadratic-form passes run
+    in 2x-packed bf16 — dx/dy are formed by an f32 subtract first (bf16
+    pixel coordinates would lose whole pixels), then cast; the resulting
+    alpha carries the same 2^-9 rounding class as the fast path's
+    bf16-packed sort payload."""
     x = geom[0:1, :]
     y = geom[1:2, :]
     ca = geom[2:3, :]
@@ -687,6 +696,20 @@ def _alphas(geom, px, py, check_sigma=True):
     dy = y - py
     if check_sigma:
         sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    elif BF16_PIX:
+        b = jnp.bfloat16
+        dx16 = dx.astype(b)
+        dy16 = dy.astype(b)
+        sigma16 = (dx16 * ((0.5 * ca).astype(b) * dx16
+                           + cb.astype(b) * dy16)
+                   + (0.5 * cc).astype(b) * dy16 * dy16)
+        raw16 = op.astype(b) * jnp.exp(-sigma16)
+        raw = raw16.astype(jnp.float32)
+        sigma = sigma16.astype(jnp.float32)
+        alpha = jnp.minimum(MAX_ALPHA, raw)
+        keep = alpha >= ALPHA_THRESHOLD
+        a = jnp.where(keep, alpha, 0.0)
+        return a, keep, raw, dx, dy, ca[0], cb[0], cc[0], op[0], sigma
     else:
         sigma = dx * ((0.5 * ca) * dx + cb * dy) + (0.5 * cc) * dy * dy
     raw = op * jnp.exp(-sigma)
