@@ -669,7 +669,47 @@ def _moment_basis(tile_size):
     return hi, lo
 
 
-BF16_PIX = os.environ.get("GSL_BF16_PIX", "0") == "1"
+def _alphas_mxu(geom, basis_hi, basis_lo, cx, cy):
+    """Fast-mode alpha evaluation with the sigma quadratic on the MXU.
+
+    sigma(p, j) is a degree-2 polynomial in the tile-center-relative pixel
+    coords, so it closes into basis @ Q: basis [P, 8] is the exact hi/lo
+    bf16 split of (1, px, py, px^2, px*py, py^2, 0, 0) (see _moment_basis),
+    Q [8, K] the per-splat quadratic coefficients (cheap [1, K] row math).
+    Q is hi/lo split too: the constant term 0.5*ca*x^2 can reach ~10^2
+    while sigma at contributing pixels is O(1) — single-bf16 coefficients
+    would lose ~e^0.25 of alpha to cancellation; the 3-matmul hi/lo
+    product keeps the error at the 2^-16 class, below the bf16 payload
+    rounding the fast path already carries. Replaces ~10 VPU passes over
+    [P, K] with 3 MXU matmuls (~24 MACs/pair; measured VPU-bound kernels).
+
+    Returns (a, keep, raw) — fast mode needs no dx/dy/sigma outputs."""
+    x = geom[0:1, :] - cx                              # [1, K] centered
+    y = geom[1:2, :] - cy
+    ca = geom[2:3, :]
+    cb = geom[3:4, :]
+    cc = geom[4:5, :]
+    op = geom[5:6, :]
+    q0 = (0.5 * ca) * x * x + cb * x * y + (0.5 * cc) * y * y
+    q1 = -(ca * x + cb * y)
+    q2 = -(cb * x + cc * y)
+    z = jnp.zeros_like(x)
+    Q = jnp.concatenate([q0, q1, q2, 0.5 * ca, cb, 0.5 * cc, z, z],
+                        axis=0)                        # [8, K]
+    Qhi = Q.astype(jnp.bfloat16)
+    Qlo = (Q - Qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def mm(b, q):
+        return lax.dot_general(b, q, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=lax.Precision.DEFAULT)
+
+    sigma = mm(basis_hi, Qhi) + (mm(basis_hi, Qlo) + mm(basis_lo, Qhi))
+    raw = op * jnp.exp(-sigma)
+    alpha = jnp.minimum(MAX_ALPHA, raw)
+    keep = alpha >= ALPHA_THRESHOLD
+    a = jnp.where(keep, alpha, 0.0)
+    return a, keep, raw
 
 
 def _alphas(geom, px, py, check_sigma=True):
@@ -681,11 +721,9 @@ def _alphas(geom, px, py, check_sigma=True):
     The factored sigma saves two [P, K] passes ((0.5*ca) and (0.5*cc)
     are [1, K] row ops).
 
-    GSL_BF16_PIX=1 (fast mode only): the [P, K] quadratic-form passes run
-    in 2x-packed bf16 — dx/dy are formed by an f32 subtract first (bf16
-    pixel coordinates would lose whole pixels), then cast; the resulting
-    alpha carries the same 2^-9 rounding class as the fast path's
-    bf16-packed sort payload."""
+    (A 2x-packed bf16 variant of these passes was measured SLOWER on the
+    live v5e — fwd 34.0 vs 30.8 ms; the cast traffic eats the packing win.
+    NOTES_ROUND4.md experiment E4.)"""
     x = geom[0:1, :]
     y = geom[1:2, :]
     ca = geom[2:3, :]
@@ -696,20 +734,6 @@ def _alphas(geom, px, py, check_sigma=True):
     dy = y - py
     if check_sigma:
         sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-    elif BF16_PIX:
-        b = jnp.bfloat16
-        dx16 = dx.astype(b)
-        dy16 = dy.astype(b)
-        sigma16 = (dx16 * ((0.5 * ca).astype(b) * dx16
-                           + cb.astype(b) * dy16)
-                   + (0.5 * cc).astype(b) * dy16 * dy16)
-        raw16 = op.astype(b) * jnp.exp(-sigma16)
-        raw = raw16.astype(jnp.float32)
-        sigma = sigma16.astype(jnp.float32)
-        alpha = jnp.minimum(MAX_ALPHA, raw)
-        keep = alpha >= ALPHA_THRESHOLD
-        a = jnp.where(keep, alpha, 0.0)
-        return a, keep, raw, dx, dy, ca[0], cb[0], cc[0], op[0], sigma
     else:
         sigma = dx * ((0.5 * ca) * dx + cb * dy) + (0.5 * cc) * dy * dy
     raw = op * jnp.exp(-sigma)
@@ -788,6 +812,11 @@ def _fwd_kernel(
     @pl.when(valid & (alldone[0] == 0))
     def _():
         px, py = _pixel_coords(tile, tiles_x, tile_size)
+        if fast and not stp:
+            basis_hi, basis_lo = _moment_basis(tile_size)
+            ts_f = jnp.float32(tile_size)
+            cx = (tile % tiles_x).astype(jnp.float32) * ts_f + 0.5 * ts_f
+            cy = (tile // tiles_x).astype(jnp.float32) * ts_f + 0.5 * ts_f
         base0 = blk_ref[k] * sb
         i0 = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
         i1 = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
@@ -808,8 +837,14 @@ def _fwd_kernel(
             @pl.when((j * chunk < hi) & ((j + 1) * chunk > lo))
             def _(j=j):
                 sl = slice(j * chunk, (j + 1) * chunk)
-                a, _, _, dx, dy, *_ = _alphas(geom_ref[:, sl], px, py,
-                                              check_sigma=not fast)
+                if fast and not stp:
+                    # dx/dy are only needed by the stp depth planes
+                    a, _, _ = _alphas_mxu(geom_ref[:, sl], basis_hi,
+                                          basis_lo, cx, cy)
+                    dx = dy = None
+                else:
+                    a, _, _, dx, dy, *_ = _alphas(geom_ref[:, sl], px, py,
+                                                  check_sigma=not fast)
                 idx = base0 + j * chunk + lane1            # [1, K]
                 lane_sb = j * chunk + lane1
                 in_rng = (lane_sb >= lo) & (lane_sb < hi)  # [1, K]
@@ -817,7 +852,7 @@ def _fwd_kernel(
                     in_rng = in_rng & (idx < istop[...])   # [P, K]
                 a = jnp.where(in_rng, a, 0.0)
 
-                lf = jnp.log1p(-a)
+                lf = jnp.log1p(-a)                         # a==0 -> lf==0
                 S_exc = jnp.dot(lf, tri,
                                 preferred_element_type=jnp.float32,
                                 precision=prec)
@@ -835,9 +870,11 @@ def _fwd_kernel(
                     lf_eff = lf
                 else:
                     T_inc = T_exc * (1.0 - a)
-                    comp = (T_inc > MIN_TRANSMITTANCE) & (a > 0.0)
-                    w = jnp.where(comp, a * T_exc, 0.0)
-                    lf_eff = jnp.where(comp, lf, 0.0)
+                    # w/lf_eff need only the transmittance-alive mask:
+                    # a == 0 already zeroes both (lf = log1p(0) = 0)
+                    alive_m = T_inc > MIN_TRANSMITTANCE
+                    w = jnp.where(alive_m, a * T_exc, 0.0)
+                    lf_eff = jnp.where(alive_m, lf, 0.0)
                 acc[...] += jnp.dot(w, color_ref[:, sl].T,
                                     preferred_element_type=jnp.float32,
                                     precision=prec)
@@ -973,8 +1010,20 @@ def _bwd_kernel(
 
             @pl.when(touches)
             def _(j=j, sl=sl):
-                a, keep, raw, dx, dy, ca, cb, cc, op, sigma = _alphas(
-                    geom_ref[:, sl], px, py, check_sigma=not fast)
+                if fast and not stp:
+                    # sigma on the MXU; dx/dy/sigma are not consumed by
+                    # the fast gradient path (moments replace them)
+                    ts_f = jnp.float32(tile_size)
+                    cxk = (tile % tiles_x).astype(jnp.float32) * ts_f \
+                        + 0.5 * ts_f
+                    cyk = (tile // tiles_x).astype(jnp.float32) * ts_f \
+                        + 0.5 * ts_f
+                    a, keep, raw = _alphas_mxu(geom_ref[:, sl], basis_hi,
+                                               basis_lo, cxk, cyk)
+                    dx = dy = sigma = ca = cb = cc = op = None
+                else:
+                    a, keep, raw, dx, dy, ca, cb, cc, op, sigma = _alphas(
+                        geom_ref[:, sl], px, py, check_sigma=not fast)
                 lane_sb = j * chunk + lane1                # [1, K]
                 idx = base0 + lane_sb
                 in_rng = (lane_sb >= lo) & (lane_sb < hi)  # [1, K]
@@ -1048,9 +1097,9 @@ def _bwd_kernel(
                         + 0.5 * ts_f
                     xc = geom_ref[0:1, sl] - cx
                     yc = geom_ref[1:2, sl] - cy
-                    ca1 = ca[None, :]
-                    cb1 = cb[None, :]
-                    cc1 = cc[None, :]
+                    ca1 = geom_ref[2:3, sl]
+                    cb1 = geom_ref[3:4, sl]
+                    cc1 = geom_ref[4:5, sl]
                     s0 = mom[0:1, :]
                     s1x = mom[1:2, :]
                     s1y = mom[2:3, :]
@@ -1066,7 +1115,7 @@ def _bwd_kernel(
                     dc = 0.5 * (yc * yc * s0 - 2.0 * yc * s1y
                                 + mom[5:6, :])
                     # dop integrand dalpha*exp(-sigma) = -dsigma/op
-                    dop = -s0 / jnp.maximum(op[None, :], 1e-30)
+                    dop = -s0 / jnp.maximum(geom_ref[5:6, sl], 1e-30)
                     dg_new = jnp.concatenate(
                         [dmx, dmy, da, db, dc, dop], axis=0)  # [6, K]
                 else:

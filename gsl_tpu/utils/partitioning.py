@@ -24,6 +24,13 @@ class SceneConfig:
     location_based_enlarge: float = 0.1     # x partition_size
     visibility_based_distance: float = 0.9  # x partition_size
     visibility_threshold: float = 1.0 / 6.0
+    visibility_mode: str = "points"
+    """'points': fraction of the cell's sparse points inside the camera
+    frustum (reference cameras_point_based_visibilities);
+    'convex_hull': projected-hull area over image area (reference
+    partitioning_utils.py:740-868 convex-hull variant — with a hull
+    threshold like the reference's 1/9 in mind, set visibility_threshold
+    accordingly)."""
 
 
 @dataclasses.dataclass
@@ -74,6 +81,67 @@ def _project_xy(points3d: np.ndarray, rotation: np.ndarray,
     p = points3d @ rotation.T
     keep = [i for i in range(3) if i != up_axis]
     return p[:, keep]
+
+
+def _clip_polygon(poly: np.ndarray, W: float, H: float) -> np.ndarray:
+    """Sutherland-Hodgman clip of a convex polygon [K, 2] to
+    [0, W] x [0, H]."""
+    def clip_edge(pts, inside, intersect):
+        out = []
+        k = len(pts)
+        for i in range(k):
+            cur, nxt = pts[i], pts[(i + 1) % k]
+            ci, ni = inside(cur), inside(nxt)
+            if ci:
+                out.append(cur)
+                if not ni:
+                    out.append(intersect(cur, nxt))
+            elif ni:
+                out.append(intersect(cur, nxt))
+        return np.asarray(out) if out else np.zeros((0, 2))
+
+    def x_cut(c, n, x0):
+        t = (x0 - c[0]) / (n[0] - c[0])
+        return np.array([x0, c[1] + t * (n[1] - c[1])])
+
+    def y_cut(c, n, y0):
+        t = (y0 - c[1]) / (n[1] - c[1])
+        return np.array([c[0] + t * (n[0] - c[0]), y0])
+
+    for inside, intersect in (
+            (lambda p: p[0] >= 0, lambda c, n: x_cut(c, n, 0.0)),
+            (lambda p: p[0] <= W, lambda c, n: x_cut(c, n, W)),
+            (lambda p: p[1] >= 0, lambda c, n: y_cut(c, n, 0.0)),
+            (lambda p: p[1] <= H, lambda c, n: y_cut(c, n, H))):
+        poly = clip_edge(poly, inside, intersect)
+        if len(poly) == 0:
+            return poly
+    return poly
+
+
+def _poly_area(poly: np.ndarray) -> float:
+    if len(poly) < 3:
+        return 0.0
+    x, y = poly[:, 0], poly[:, 1]
+    return 0.5 * abs(float(np.dot(x, np.roll(y, -1))
+                           - np.dot(y, np.roll(x, -1))))
+
+
+def _hull_visibility(u: np.ndarray, v: np.ndarray, W: int, H: int) -> float:
+    """Convex-hull visibility (reference partitioning_utils.py convex-hull
+    variant): area of (hull of projected points) clipped to the image,
+    over the image area."""
+    from scipy.spatial import ConvexHull, QhullError
+    pts = np.stack([u, v], axis=-1)
+    if len(pts) < 3:
+        return 0.0
+    try:
+        hull = ConvexHull(pts)
+    except QhullError:
+        return 0.0
+    poly = pts[hull.vertices]
+    clipped = _clip_polygon(poly, float(W), float(H))
+    return _poly_area(clipped) / float(W * H)
 
 
 def build_partitions(
@@ -145,9 +213,13 @@ def build_partitions(
                              + float(cam.cx))
                         v = (float(cam.fy) * p_cam[ok, 1] / z[ok]
                              + float(cam.cy))
-                        inb = ((u >= 0) & (u < int(cam.width))
-                               & (v >= 0) & (v < int(cam.height)))
-                        vis_frac[m] = inb.sum() / pts3d.shape[0]
+                        if config.visibility_mode == "convex_hull":
+                            vis_frac[m] = _hull_visibility(
+                                u, v, int(cam.width), int(cam.height))
+                        else:
+                            inb = ((u >= 0) & (u < int(cam.width))
+                                   & (v >= 0) & (v < int(cam.height)))
+                            vis_frac[m] = inb.sum() / pts3d.shape[0]
                     mask = mask | (vis_frac >= config.visibility_threshold)
                 else:
                     # center-distance proxy (no intrinsics available)

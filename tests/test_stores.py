@@ -81,3 +81,57 @@ def test_point_projection_visibility_assignment():
     assert mask_b[3]
     assert not mask_b[0] and not mask_b[1], \
         "cameras looking away must not join cell B"
+
+
+def test_convex_hull_visibility_assignment():
+    """Convex-hull visibility (reference partitioning_utils.py:740-868
+    variant): a camera whose image is substantially covered by the
+    projected hull of a cell's points joins the cell; a camera looking
+    away does not. Also unit-checks the polygon clip."""
+    import numpy as np
+    from gsl_tpu.data.cameras import make_camera
+    from gsl_tpu.utils.partitioning import (SceneConfig, _clip_polygon,
+                                            _hull_visibility,
+                                            build_partitions)
+
+    # clip unit square shifted half out of a 1x1 window -> area 0.5
+    poly = np.array([[-0.5, 0.0], [0.5, 0.0], [0.5, 1.0], [-0.5, 1.0]])
+    clipped = _clip_polygon(poly, 1.0, 1.0)
+    from gsl_tpu.utils.partitioning import _poly_area
+    assert abs(_poly_area(clipped) - 0.5) < 1e-6
+
+    # hull of points projected across the whole image -> visibility ~1
+    u = np.array([-10.0, 70.0, -10.0, 70.0, 30.0])
+    v = np.array([-10.0, -10.0, 70.0, 70.0, 30.0])
+    assert _hull_visibility(u, v, 64, 64) > 0.99
+    assert _hull_visibility(u[:2], v[:2], 64, 64) == 0.0
+
+    rng = np.random.RandomState(0)
+    # two camera clusters along x; points concentrated near cluster 0
+    centers = np.concatenate([
+        rng.normal([-4, 0, 0], 0.1, (5, 3)),
+        rng.normal([4, 0, 0], 0.1, (5, 3))])
+    pts = rng.normal([-4, 0, 4], 0.3, (300, 3)).astype(np.float32)
+    cams = []
+    for i, c in enumerate(centers):
+        # all look toward +z from their position
+        cams.append(make_camera(R=np.eye(3), T=-np.asarray(c),
+                                fx=60.0, fy=60.0, cx=32, cy=32,
+                                width=64, height=64))
+    from gsl_tpu.data.cameras import Cameras
+    import jax.numpy as jnp
+    import jax
+    cam_batch = jax.tree.map(lambda *xs: jnp.stack(
+        [jnp.asarray(x) for x in xs]), *cams)
+    cfg = SceneConfig(visibility_mode="convex_hull",
+                      visibility_threshold=1.0 / 9.0,
+                      location_based_enlarge=0.01,
+                      visibility_based_distance=3.0)
+    scene = build_partitions(centers, pts, config=cfg, cameras=cam_batch,
+                             n_partitions_hint=2)
+    # the cell containing the points must include cameras of cluster 0
+    # via the hull test; cluster-1 cameras see the points off-center and
+    # small (or not at all)
+    cell_with_pts = max(scene.partitions,
+                        key=lambda p: int(p.camera_mask[:5].sum()))
+    assert cell_with_pts.camera_mask[:5].sum() >= 4
