@@ -202,15 +202,20 @@ def main():
     img_dir = os.path.join(args.workdir, "images")
     os.makedirs(img_dir, exist_ok=True)
     names, paths = [], []
-    render_j = jax.jit(lambda c: renderer.forward(
-        teacher, c, args.res, args.res, bg, 3).render)
+    render_j = None
     for i, cam in enumerate(cams):
-        out_render = render_j(cam)
-        img = (np.clip(np.asarray(out_render), 0, 1) * 255).astype(np.uint8)
         name = f"v{i:03d}.png"
-        Image.fromarray(img).save(os.path.join(img_dir, name))
+        path = os.path.join(img_dir, name)
+        if not os.path.exists(path):   # resumable: skip rendered views
+            if render_j is None:
+                render_j = jax.jit(lambda c: renderer.forward(
+                    teacher, c, args.res, args.res, bg, 3).render)
+            out_render = render_j(cam)
+            img = (np.clip(np.asarray(out_render), 0, 1)
+                   * 255).astype(np.uint8)
+            Image.fromarray(img).save(path)
         names.append(name)
-        paths.append(os.path.join(img_dir, name))
+        paths.append(path)
     del teacher, render_j, renderer
 
     cam_batch = jax.tree.map(lambda *xs: jnp.stack(
@@ -241,16 +246,31 @@ def main():
                                     or min(int(steps * 0.5), 15000)),
                 opacity_reset_interval=3000),
             config=TrainerConfig())
-        cfg = FitConfig(max_steps=steps, output_dir=os.path.join(
-            args.workdir, tag), save_iterations=[], save_ply=False,
-            log_interval=500, resume="never", seed=seed)
+        # resume="auto": a killed/restarted protocol run skips completed
+        # phases (fit() loads the end checkpoint and goes straight to
+        # validation); wall-clock for resumed phases is reconstructed from
+        # the phase's own train_log.csv
+        out_dir = os.path.join(args.workdir, tag)
+        cfg = FitConfig(max_steps=steps, output_dir=out_dir,
+                        save_iterations=[], save_ply=False,
+                        log_interval=500, resume="auto", seed=seed)
+        already_done = os.path.isdir(
+            os.path.join(out_dir, "checkpoints", f"step_{steps}"))
         t0 = time.time()
         state, results = fit(trainer, outputs, cfg, val_at_end=True)
+        minutes = (time.time() - t0) / 60.0
+        if already_done:  # resumed complete phase: recompute from log
+            import csv as _csv
+            with open(os.path.join(out_dir, "train_log.csv")) as f:
+                rows = [r for r in _csv.reader(f)][1:]
+            secs = sum(float(cfg.log_interval) / max(float(r[3]), 1e-6)
+                       for r in rows if len(r) >= 4)
+            minutes = secs / 60.0
         return state, trainer, cfg, {
             "psnr": results["psnr"], "ssim": results["ssim"],
             "lpips": results.get("lpips", float("nan")),
             "n_gaussians": int(state.gaussians.n_alive),
-            "minutes": (time.time() - t0) / 60.0}
+            "minutes": minutes}
 
     print(f"== full run: {args.steps} steps (fast mode) ==", flush=True)
     state_f, trainer_f, cfg_f, full = run("full", args.steps, True)
