@@ -1221,7 +1221,7 @@ def _rasterize_bwd_raw(geom_s, color_s, gout, galpha, tfin, istop,
         # the STP-resort bwd peaks ~16.4M scoped vmem (the _window_before
         # shifted pads) — just over the 16M compiler default on a real chip
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(sched.blk, sched.tile_of_chunk, sched.flags, rv, *inputs,
       gout, galpha, tfin, istop)

@@ -237,6 +237,15 @@ def main():
 
     def run(tag, steps, fast_math, seed=42, trainer=None,
             densify_until=None):
+        # phase-result cache: a crashed/restarted protocol run (the axon
+        # tunnel can kill the worker mid-phase) resumes without redoing
+        # finished phases
+        cache = os.path.join(args.workdir, f"result_{tag}.json")
+        if os.path.exists(cache):
+            with open(cache) as f:
+                cached = json.load(f)
+            print(f"[cache] {tag}: {cached}", flush=True)
+            return None, None, None, cached
         trainer = trainer or Trainer(
             model=VanillaGaussianConfig(sh_degree=3),
             renderer=TileRendererConfig(min_isect_capacity=1 << 20,
@@ -266,11 +275,13 @@ def main():
             secs = sum(float(cfg.log_interval) / max(float(r[3]), 1e-6)
                        for r in rows if len(r) >= 4)
             minutes = secs / 60.0
-        return state, trainer, cfg, {
-            "psnr": results["psnr"], "ssim": results["ssim"],
-            "lpips": results.get("lpips", float("nan")),
-            "n_gaussians": int(state.gaussians.n_alive),
-            "minutes": minutes}
+        rec = {"psnr": results["psnr"], "ssim": results["ssim"],
+               "lpips": results.get("lpips", float("nan")),
+               "n_gaussians": int(state.gaussians.n_alive),
+               "minutes": minutes}
+        with open(cache, "w") as f:
+            json.dump(rec, f, default=float)
+        return state, trainer, cfg, rec
 
     print(f"== full run: {args.steps} steps (fast mode) ==", flush=True)
     state_f, trainer_f, cfg_f, full = run("full", args.steps, True)
@@ -278,15 +289,27 @@ def main():
 
     # converged fast-vs-exact: evaluate the SAME converged model with the
     # exact compositing + exact-sort renderer
-    exact_trainer = Trainer(
-        model=VanillaGaussianConfig(sh_degree=3),
-        renderer=TileRendererConfig(min_isect_capacity=1 << 20,
-                                    fast_math=False, exact_sort=True),
-        density=VanillaDensityControllerConfig(),
-        config=TrainerConfig())
-    exact_trainer.setup(state_f.gaussians, outputs.camera_extent,
-                        outputs.prune_extent)
-    conv_exact = validate(exact_trainer, state_f, outputs, cfg_f)
+    conv_cache = os.path.join(args.workdir, "result_conv_exact.json")
+    if os.path.exists(conv_cache):
+        with open(conv_cache) as f:
+            conv_exact = json.load(f)
+        print(f"[cache] conv_exact: {conv_exact}", flush=True)
+    else:
+        assert state_f is not None, \
+            "full phase cached but conv_exact missing: delete " \
+            "result_full.json to recompute both"
+        exact_trainer = Trainer(
+            model=VanillaGaussianConfig(sh_degree=3),
+            renderer=TileRendererConfig(min_isect_capacity=1 << 20,
+                                        fast_math=False, exact_sort=True),
+            density=VanillaDensityControllerConfig(),
+            config=TrainerConfig())
+        exact_trainer.setup(state_f.gaussians, outputs.camera_extent,
+                            outputs.prune_extent)
+        conv_exact = validate(exact_trainer, state_f, outputs, cfg_f)
+        with open(conv_cache, "w") as f:
+            json.dump({k: v for k, v in conv_exact.items()
+                       if isinstance(v, (int, float))}, f, default=float)
     print(f"converged eval exact: {conv_exact['psnr']:.3f} dB "
           f"(fast: {full['psnr']:.3f})", flush=True)
 
@@ -311,8 +334,16 @@ def main():
     # ---- packed-key vs exact-sort diff at bench scale ----
     sd = None
     if not args.skip_sort_diff:
-        print("== packed vs exact sort diff @1M/1080p ==", flush=True)
-        sd = sort_diff_at_bench_scale()
+        sd_cache = os.path.join(args.workdir, "result_sort_diff.json")
+        if os.path.exists(sd_cache):
+            with open(sd_cache) as f:
+                sd = json.load(f)
+            print(f"[cache] sort_diff: {sd}", flush=True)
+        else:
+            print("== packed vs exact sort diff @1M/1080p ==", flush=True)
+            sd = sort_diff_at_bench_scale()
+            with open(sd_cache, "w") as f:
+                json.dump(sd, f, default=float)
         print(sd, flush=True)
 
     backend = jax.default_backend()
