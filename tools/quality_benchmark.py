@@ -321,7 +321,7 @@ def main():
     # ---- kernel-variant short runs through the real presets ----
     variants = {}
     if args.variant_steps:
-        for preset, tag in (("stp.yaml", "stp"), ("gs2d.yaml", "gs2d")):
+        for preset, tag in (("gs2d.yaml", "gs2d"), ("stp.yaml", "stp")):
             print(f"== variant run: {preset} ==", flush=True)
             cfg_d = load_config([os.path.join(CONFIGS, preset)], {})
             v_trainer, _, _ = build_components(cfg_d)
