@@ -745,6 +745,42 @@ def _alphas(geom, px, py, check_sigma=True):
     return a, keep, raw, dx, dy, ca[0], cb[0], cc[0], op[0], sigma
 
 
+def _cumprod_excl(v):
+    """Exclusive cumulative product along lanes: out[p, i] = prod_{j<i} v[p, j].
+
+    Hillis-Steele doubling scan — log2(K) statically-shifted multiplies on
+    the VPU (K=128 -> 7). Replaces the fast path's log1p -> triangle-matmul
+    -> exp transmittance closure: no transcendentals, no MXU pass; the only
+    difference from the sequential product is multiply association order
+    (few-ulp class). NOTES_ROUND4 lever 1.
+    """
+    P, K = v.shape
+    one = jnp.ones((P, 1), v.dtype)
+    x = jnp.concatenate([one, v[:, :K - 1]], axis=1)
+    s = 1
+    while s < K:
+        x = x * jnp.concatenate(
+            [jnp.ones((P, s), v.dtype), x[:, :K - s]], axis=1)
+        s *= 2
+    return x
+
+
+def _cumprod_incl_rev(v):
+    """Reverse inclusive cumulative product: out[p, i] = prod_{j>=i} v[p, j].
+
+    Same doubling scan as `_cumprod_excl`, shifted from the right; lane 0
+    holds the product of the whole chunk (the backward walk's carry
+    update)."""
+    P, K = v.shape
+    x = v
+    s = 1
+    while s < K:
+        x = x * jnp.concatenate(
+            [x[:, s:], jnp.ones((P, s), v.dtype)], axis=1)
+        s *= 2
+    return x
+
+
 def _window_before(vals, d, chunk):
     """Per-pixel within-window ordered sum (StopThePop resort primitive).
 
@@ -852,34 +888,48 @@ def _fwd_kernel(
                     in_rng = in_rng & (idx < istop[...])   # [P, K]
                 a = jnp.where(in_rng, a, 0.0)
 
-                lf = jnp.log1p(-a)                         # a==0 -> lf==0
-                S_exc = jnp.dot(lf, tri,
-                                preferred_element_type=jnp.float32,
-                                precision=prec)
-                if stp:
-                    dpp = _stp_depths(stp_ref[:, sl], dx, dy)
-                    S_exc = S_exc + _window_before(lf, dpp, chunk)
-                T_exc = T[...] * jnp.exp(S_exc)
-
-                if stp:
-                    # no transmittance break in resort mode: "first break
-                    # index" is order-dependent, which is exactly what STP
-                    # removes; weights below MIN_TRANSMITTANCE vanish on
-                    # their own (T underflows toward 0 harmlessly)
-                    w = a * T_exc
-                    lf_eff = lf
-                else:
-                    T_inc = T_exc * (1.0 - a)
-                    # w/lf_eff need only the transmittance-alive mask:
-                    # a == 0 already zeroes both (lf = log1p(0) = 0)
+                if fast and not stp:
+                    # transcendental-free closure: exclusive cumprod scan
+                    # (7 shifted multiplies) instead of log1p -> triangle
+                    # matmul -> exp; same sequential-product semantics up
+                    # to multiply association order (NOTES_ROUND4 lever 1)
+                    v = 1.0 - a
+                    T_exc = T[...] * _cumprod_excl(v)
+                    T_inc = T_exc * v
                     alive_m = T_inc > MIN_TRANSMITTANCE
                     w = jnp.where(alive_m, a * T_exc, 0.0)
-                    lf_eff = jnp.where(alive_m, lf, 0.0)
+                    T[...] = T[...] * jnp.prod(
+                        jnp.where(alive_m, v, 1.0), axis=1, keepdims=True)
+                else:
+                    lf = jnp.log1p(-a)                     # a==0 -> lf==0
+                    S_exc = jnp.dot(lf, tri,
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec)
+                    if stp:
+                        dpp = _stp_depths(stp_ref[:, sl], dx, dy)
+                        S_exc = S_exc + _window_before(lf, dpp, chunk)
+                    T_exc = T[...] * jnp.exp(S_exc)
+
+                    if stp:
+                        # no transmittance break in resort mode: "first
+                        # break index" is order-dependent, which is exactly
+                        # what STP removes; weights below MIN_TRANSMITTANCE
+                        # vanish on their own (T underflows toward 0
+                        # harmlessly)
+                        w = a * T_exc
+                        lf_eff = lf
+                    else:
+                        T_inc = T_exc * (1.0 - a)
+                        # w/lf_eff need only the transmittance-alive mask:
+                        # a == 0 already zeroes both (lf = log1p(0) = 0)
+                        alive_m = T_inc > MIN_TRANSMITTANCE
+                        w = jnp.where(alive_m, a * T_exc, 0.0)
+                        lf_eff = jnp.where(alive_m, lf, 0.0)
+                    T[...] = T[...] * jnp.exp(
+                        jnp.sum(lf_eff, axis=1, keepdims=True))
                 acc[...] += jnp.dot(w, color_ref[:, sl].T,
                                     preferred_element_type=jnp.float32,
                                     precision=prec)
-                T[...] = T[...] * jnp.exp(
-                    jnp.sum(lf_eff, axis=1, keepdims=True))
                 if not stp:
                     brk = (T_inc <= MIN_TRANSMITTANCE) & (a > 0.0)
                     first_brk = jnp.min(jnp.where(brk, idx, BIG_I32),
@@ -1029,19 +1079,29 @@ def _bwd_kernel(
                 in_rng = (lane_sb >= lo) & (lane_sb < hi)  # [1, K]
                 comp = keep & (in_rng & (idx < istop_col))
                 a = jnp.where(comp, a, 0.0)
-                lf = jnp.log1p(-a)
 
-                S_inc = jnp.dot(lf, tri_ge,
-                                preferred_element_type=jnp.float32,
-                                precision=prec)
-                if stp:
-                    dpp = _stp_depths(stp_ref[:, sl], dx, dy)
-                    lf_before = _window_before(lf, dpp, chunk)
-                    # S_inc must sum lf over slots NOT preceding i (incl.
-                    # i): full >=-window sum minus the within-window
-                    # predecessors
-                    S_inc = S_inc - lf_before
-                T_exc = T_run[...] * jnp.exp(-S_inc)
+                if fast and not stp:
+                    # transcendental-free suffix closure (see _fwd_kernel):
+                    # R[i] = prod_{j>=i}(1-a_j) via reverse doubling scan;
+                    # T_exc = T_run / R replaces log1p -> matmul -> exp.
+                    # tiny/tiny division is no worse conditioned than the
+                    # tiny*exp(huge) product it replaces.
+                    v = 1.0 - a
+                    R = _cumprod_incl_rev(v)
+                    T_exc = T_run[...] / R
+                else:
+                    lf = jnp.log1p(-a)
+                    S_inc = jnp.dot(lf, tri_ge,
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec)
+                    if stp:
+                        dpp = _stp_depths(stp_ref[:, sl], dx, dy)
+                        lf_before = _window_before(lf, dpp, chunk)
+                        # S_inc must sum lf over slots NOT preceding i
+                        # (incl. i): full >=-window sum minus the
+                        # within-window predecessors
+                        S_inc = S_inc - lf_before
+                    T_exc = T_run[...] * jnp.exp(-S_inc)
 
                 colors = color_ref[:, sl]             # [C, K]
                 cg = jnp.dot(g, colors,
@@ -1144,8 +1204,12 @@ def _bwd_kernel(
                 dcolor_ref[:, sl] = jnp.where(
                     in1, dcol, jnp.where(fresh, 0.0, dcolor_prev[:, sl]))
 
-                T_run[...] = T_run[...] * jnp.exp(
-                    -jnp.sum(lf, axis=1, keepdims=True))
+                if fast and not stp:
+                    # R's lane 0 is the whole-chunk product
+                    T_run[...] = T_run[...] / R[:, 0:1]
+                else:
+                    T_run[...] = T_run[...] * jnp.exp(
+                        -jnp.sum(lf, axis=1, keepdims=True))
                 Sg[...] = Sg[...] + jnp.sum(q, axis=1, keepdims=True)
 
             @pl.when(jnp.logical_not(touches) & fresh)

@@ -260,8 +260,12 @@ def main():
         # validation); wall-clock for resumed phases is reconstructed from
         # the phase's own train_log.csv
         out_dir = os.path.join(args.workdir, tag)
+        # periodic saves so a TPU-worker crash mid-phase (axon tunnel,
+        # NOTES_ROUND4 fault) resumes from the last 5k boundary instead of
+        # restarting the phase
         cfg = FitConfig(max_steps=steps, output_dir=out_dir,
-                        save_iterations=[], save_ply=False,
+                        save_iterations=list(range(5000, steps, 5000)),
+                        save_ply=False,
                         log_interval=500, resume="auto", seed=seed)
         already_done = os.path.isdir(
             os.path.join(out_dir, "checkpoints", f"step_{steps}"))
