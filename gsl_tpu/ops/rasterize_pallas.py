@@ -204,7 +204,7 @@ def _expand_kernel(
     out_ref,                    # [TABLE_D, EXPAND_BLOCK]
     *, n_channels: int, tile_size: int, tiles_x: int, tiles_y: int,
     depth_bits: int, tile_based_culling: bool, stp_resort: bool,
-    emit_slotid: bool = False, emit_depth: bool = False,
+    emit_depth: bool = False, rel_means: bool = False,
 ):
     b = pl.program_id(0)
     B = EXPAND_BLOCK
@@ -320,11 +320,24 @@ def _expand_kernel(
 
     # per-row writes (Mosaic-friendly; no sublane concat/transpose)
     out_ref[0:1, :] = lax.bitcast_convert_type(key, jnp.float32)
-    # scatter-reduce mode carries the expansion SLOT id instead of the
-    # gaussian id (gid is re-derived in expansion order from the offsets);
-    # slot ids < 2^24 are exact in f32
-    out_ref[1:2, :] = s if emit_slotid else gid
-    out_ref[2:8 + n_channels, :] = rowT[5:11 + n_channels, :]  # mx my a b c op ch..
+    out_ref[1:2, :] = gid
+    if rel_means:
+        # fast mode: means ride the sort as a TILE-CENTER-RELATIVE bf16
+        # pair (packed post-kernel) — one fewer sort operand. The bf16
+        # error is RELATIVE to the mean's distance from the tile, which is
+        # the same scale as its distance from every pixel that reads it:
+        # d(sigma) = conic . dx . err(dx) ~ 2 sigma * 2^-9 — the identical
+        # class as the bf16 conic the fast path already carries. Subpixel
+        # precision is preserved exactly where it matters (mean inside or
+        # near the tile).
+        ts_f = jnp.float32(tile_size)
+        tcx = t_x.astype(jnp.float32) * ts_f + 0.5 * ts_f
+        tcy = t_y.astype(jnp.float32) * ts_f + 0.5 * ts_f
+        out_ref[2:3, :] = rowT[5:6, :] - tcx
+        out_ref[3:4, :] = rowT[6:7, :] - tcy
+        out_ref[4:8 + n_channels, :] = rowT[7:11 + n_channels, :]
+    else:
+        out_ref[2:8 + n_channels, :] = rowT[5:11 + n_channels, :]  # mx my a b c op ch..
     base_rows = 8 + n_channels
     if stp_resort:
         # per-pixel resort inputs: the ORIGINAL center depth + the depth
@@ -347,7 +360,7 @@ def _expand_kernel(
 def _expand_sorted(means2d, conics, opacities, channels, isects,
                    capacity, tile_size, tiles_x, tiles_y, depth_bits,
                    tile_based_culling, interpret, fast=False,
-                   stp_resort=False, emit_slotid=False, exact_sort=False):
+                   stp_resort=False, exact_sort=False):
     """Build the per-gaussian table, expand to per-slot rows, sort by
     (tile | depth). Returns sorted (keys u32, gid f32, geom [8, cap],
     color [C, cap]). With `fast`, conic/opacity/color payload rides the
@@ -394,12 +407,13 @@ def _expand_sorted(means2d, conics, opacities, channels, isects,
         ],
         out_specs=pl.BlockSpec((TABLE_D, B), lambda k, g, t: (0, k)),
     )
+    rel_means = fast and not stp_resort
     rows = pl.pallas_call(
         functools.partial(
             _expand_kernel, n_channels=c, tile_size=tile_size,
             tiles_x=tiles_x, tiles_y=tiles_y, depth_bits=depth_bits,
             tile_based_culling=tile_based_culling, stp_resort=stp_resort,
-            emit_slotid=emit_slotid, emit_depth=exact_sort),
+            emit_depth=exact_sort, rel_means=rel_means),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((TABLE_D, capacity), jnp.float32),
         interpret=interpret,
@@ -419,7 +433,21 @@ def _expand_sorted(means2d, conics, opacities, channels, isects,
         n_keys = 2
         key_ops = (key, dkey)
     stp_rows = None
-    if fast:
+    if rel_means:
+        # everything incl. the (tile-center-relative) means rides bf16:
+        # key + gid + ceil((6 + c) / 2) packed operands (7 at c=3)
+        payload = [rows[1]] + _pack_rows([rows[i] for i in range(2, 8 + c)])
+        sorted_ops = lax.sort(key_ops + tuple(payload), num_keys=n_keys,
+                              is_stable=True)
+        sorted_keys = sorted_ops[0]
+        o = n_keys
+        gid_sorted = sorted_ops[o]
+        n_packed = (6 + c + 1) // 2
+        tail = _unpack_rows(sorted_ops[o + 1:o + 1 + n_packed],
+                            6 + c)                      # mxr myr a b c op ch
+        geom_rows = tail[:6]
+        color_rows = tail[6:]
+    elif fast:
         payload = ([rows[1], rows[2], rows[3]]          # gid, mx, my (f32)
                    + _pack_rows([rows[i] for i in range(4, 8 + c)]))
         if stp_resort:
@@ -464,106 +492,11 @@ def _expand_sorted(means2d, conics, opacities, channels, isects,
     return sorted_keys, gid_sorted, geom_s, color_s, stp_s
 
 
-def _expand_sorted_xla(means2d, conics, opacities, channels, isects,
-                       capacity, tile_size, tiles_x, tiles_y, depth_bits,
-                       tile_based_culling, stp_resort=False,
-                       emit_slotid=False):
-    """Pure-XLA variant of `_expand_sorted`: gather-based instead of
-    window-kernel-based. Enumerates slots elementwise (gid via
-    `_gid_expansion`, per-gaussian fields via [cap]-sized gathers), sorts
-    only (key, slot_id) — 2 operands instead of 8-10 — and gathers the
-    geometry/color payload AFTER the sort by gaussian id. Whether this
-    beats the payload-carrying sort is a pure gather-vs-sort throughput
-    question; select with GSL_EXPAND_MODE=xla."""
-    n, c = channels.shape
-    s = jnp.arange(capacity, dtype=jnp.int32)
-    gid_exp = _gid_expansion(isects.offsets, n, capacity)        # [cap]
-
-    def gat(col):
-        return jnp.take(col, gid_exp, axis=0)
-
-    offs = gat(isects.offsets)
-    local = s - offs
-    rminx = gat(isects.rect_minx)
-    rminy = gat(isects.rect_miny)
-    w_signed = gat(isects.rect_w_signed)
-    depth = gat(isects.depths)
-    w_use = jnp.maximum(w_signed, 1)
-    t_y = jnp.minimum(rminy + local // w_use, tiles_y - 1)
-    t_x = rminx + local % w_use
-
-    mx = gat(means2d[:, 0])
-    my = gat(means2d[:, 1])
-    key_depth = depth
-    if stp_resort:
-        ts_f = jnp.float32(tile_size)
-        kzx = gat(isects.depth_grads[:, 0])
-        kzy = gat(isects.depth_grads[:, 1])
-        tcx = (t_x.astype(jnp.float32) + 0.5) * ts_f
-        tcy = (t_y.astype(jnp.float32) + 0.5) * ts_f
-        key_depth = depth + kzx * (tcx - mx) + kzy * (tcy - my)
-
-    tile = (t_y * tiles_x + t_x).astype(jnp.uint32)
-    dbits = lax.bitcast_convert_type(jnp.maximum(key_depth, 0.0),
-                                     jnp.uint32)
-    key = (tile << depth_bits) | (dbits >> (32 - depth_bits))
-    total = jnp.minimum(isects.total_padded, capacity)
-    invalid = (w_signed < 0) | (s >= total)
-
-    if tile_based_culling:
-        ca = gat(lax.stop_gradient(conics[:, 0]))
-        cb = gat(lax.stop_gradient(conics[:, 1]))
-        cc = gat(lax.stop_gradient(conics[:, 2]))
-        op = gat(lax.stop_gradient(opacities))
-        ts_f = jnp.float32(tile_size)
-        xlo = t_x.astype(jnp.float32) * ts_f - mx
-        xhi = xlo + ts_f
-        ylo = t_y.astype(jnp.float32) * ts_f - my
-        yhi = ylo + ts_f
-
-        def sig(dx, dy):
-            return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-
-        def edge_x(dx):
-            dy = jnp.clip(-cb * dx / jnp.maximum(cc, 1e-12), ylo, yhi)
-            return sig(dx, dy)
-
-        def edge_y(dy):
-            dx = jnp.clip(-cb * dy / jnp.maximum(ca, 1e-12), xlo, xhi)
-            return sig(dx, dy)
-
-        sigma_min = jnp.minimum(
-            jnp.minimum(edge_x(xlo), edge_x(xhi)),
-            jnp.minimum(edge_y(ylo), edge_y(yhi)))
-        inside = (xlo <= 0) & (xhi >= 0) & (ylo <= 0) & (yhi >= 0)
-        sigma_min = jnp.where(inside, 0.0, jnp.maximum(sigma_min, 0.0))
-        peak = op * jnp.exp(-sigma_min)
-        invalid = invalid | (peak < 1.0 / 255.0)
-
-    key = jnp.where(invalid, jnp.uint32(0xFFFFFFFF), key)
-    sorted_keys, slot_sorted = lax.sort((key, s), num_keys=1,
-                                        is_stable=True)
-    gid_sorted_i = jnp.take(gid_exp, slot_sorted, axis=0)
-
-    # payload gathered AFTER the sort, straight from the [N]-sized inputs
-    table = jnp.stack(
-        [means2d[:, 0], means2d[:, 1],
-         conics[:, 0], conics[:, 1], conics[:, 2], opacities,
-         jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32)]
-        + [channels[:, i] for i in range(c)], axis=1)     # [N, 8 + c]
-    rows_s = jnp.take(table, gid_sorted_i, axis=0).T      # [8 + c, cap]
-    geom_s = rows_s[:8]
-    color_s = rows_s[8:]
-    stp_s = None
-    if stp_resort:
-        stp_tab = jnp.stack(
-            [isects.depths, isects.depth_grads[:, 0],
-             isects.depth_grads[:, 1]]
-            + [jnp.zeros((n,), jnp.float32)] * 5, axis=1)
-        stp_s = jnp.take(stp_tab, gid_sorted_i, axis=0).T  # [8, cap]
-    second = (slot_sorted.astype(jnp.float32) if emit_slotid
-              else gid_sorted_i.astype(jnp.float32))
-    return sorted_keys, second, geom_s, color_s, stp_s
+# (A pure-XLA gather-based expand variant — sort only (key, slot_id) and
+# gather payload after — was measured SLOWER on the live v5e in round 3
+# (GSL_EXPAND_MODE=xla, NOTES_ROUND3.md): the post-sort [cap]-sized gathers
+# run at gather speed, which is exactly what the payload-carrying sort
+# design avoids. Removed in round 4; see git history for the code.)
 
 
 # ---------------------------------------------------------------------------
@@ -683,9 +616,15 @@ def _alphas_mxu(geom, basis_hi, basis_lo, cx, cy):
     rounding the fast path already carries. Replaces ~10 VPU passes over
     [P, K] with 3 MXU matmuls (~24 MACs/pair; measured VPU-bound kernels).
 
-    Returns (a, keep, raw) — fast mode needs no dx/dy/sigma outputs."""
-    x = geom[0:1, :] - cx                              # [1, K] centered
-    y = geom[1:2, :] - cy
+    Returns (a, keep, raw) — fast mode needs no dx/dy/sigma outputs.
+    `cx=None`: the geom means are ALREADY tile-center-relative (the
+    expand kernel's rel_means packing)."""
+    if cx is None:
+        x = geom[0:1, :]                               # [1, K] centered
+        y = geom[1:2, :]
+    else:
+        x = geom[0:1, :] - cx
+        y = geom[1:2, :] - cy
     ca = geom[2:3, :]
     cb = geom[3:4, :]
     cc = geom[4:5, :]
@@ -849,10 +788,8 @@ def _fwd_kernel(
     def _():
         px, py = _pixel_coords(tile, tiles_x, tile_size)
         if fast and not stp:
+            # geom means are tile-center-relative (expand rel_means)
             basis_hi, basis_lo = _moment_basis(tile_size)
-            ts_f = jnp.float32(tile_size)
-            cx = (tile % tiles_x).astype(jnp.float32) * ts_f + 0.5 * ts_f
-            cy = (tile // tiles_x).astype(jnp.float32) * ts_f + 0.5 * ts_f
         base0 = blk_ref[k] * sb
         i0 = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
         i1 = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
@@ -876,7 +813,7 @@ def _fwd_kernel(
                 if fast and not stp:
                     # dx/dy are only needed by the stp depth planes
                     a, _, _ = _alphas_mxu(geom_ref[:, sl], basis_hi,
-                                          basis_lo, cx, cy)
+                                          basis_lo, None, None)
                     dx = dy = None
                 else:
                     a, _, _, dx, dy, *_ = _alphas(geom_ref[:, sl], px, py,
@@ -894,12 +831,18 @@ def _fwd_kernel(
                     # matmul -> exp; same sequential-product semantics up
                     # to multiply association order (NOTES_ROUND4 lever 1)
                     v = 1.0 - a
-                    T_exc = T[...] * _cumprod_excl(v)
-                    T_inc = T_exc * v
+                    E = _cumprod_excl(v)
+                    I_inc = E * v                  # inclusive cumprod
+                    T_exc = T[...] * E
+                    T_inc = T[...] * I_inc
                     alive_m = T_inc > MIN_TRANSMITTANCE
                     w = jnp.where(alive_m, a * T_exc, 0.0)
-                    T[...] = T[...] * jnp.prod(
-                        jnp.where(alive_m, v, 1.0), axis=1, keepdims=True)
+                    # chunk product over the alive prefix = the smallest
+                    # alive inclusive cumprod (I_inc is non-increasing);
+                    # Mosaic has no reduce_prod, min is the same value here
+                    T[...] = T[...] * jnp.min(
+                        jnp.where(alive_m, I_inc, 1.0), axis=1,
+                        keepdims=True)
                 else:
                     lf = jnp.log1p(-a)                     # a==0 -> lf==0
                     S_exc = jnp.dot(lf, tri,
@@ -1062,14 +1005,10 @@ def _bwd_kernel(
             def _(j=j, sl=sl):
                 if fast and not stp:
                     # sigma on the MXU; dx/dy/sigma are not consumed by
-                    # the fast gradient path (moments replace them)
-                    ts_f = jnp.float32(tile_size)
-                    cxk = (tile % tiles_x).astype(jnp.float32) * ts_f \
-                        + 0.5 * ts_f
-                    cyk = (tile // tiles_x).astype(jnp.float32) * ts_f \
-                        + 0.5 * ts_f
+                    # the fast gradient path (moments replace them); geom
+                    # means are tile-center-relative (expand rel_means)
                     a, keep, raw = _alphas_mxu(geom_ref[:, sl], basis_hi,
-                                               basis_lo, cxk, cyk)
+                                               basis_lo, None, None)
                     dx = dy = sigma = ca = cb = cc = op = None
                 else:
                     a, keep, raw, dx, dy, ca, cb, cc, op, sigma = _alphas(
@@ -1149,14 +1088,9 @@ def _bwd_kernel(
                             basis_lo, ds16, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=lax.Precision.DEFAULT))  # [8, K]
-                    # mean coords relative to the basis center
-                    ts_f = jnp.float32(tile_size)
-                    cx = (tile % tiles_x).astype(jnp.float32) * ts_f \
-                        + 0.5 * ts_f
-                    cy = (tile // tiles_x).astype(jnp.float32) * ts_f \
-                        + 0.5 * ts_f
-                    xc = geom_ref[0:1, sl] - cx
-                    yc = geom_ref[1:2, sl] - cy
+                    # mean coords are already tile-center-relative
+                    xc = geom_ref[0:1, sl]
+                    yc = geom_ref[1:2, sl]
                     ca1 = geom_ref[2:3, sl]
                     cb1 = geom_ref[3:4, sl]
                     cc1 = geom_ref[4:5, sl]
@@ -1409,48 +1343,11 @@ def _reduce_by_gid(dgeom, dcolor, gid_sorted, n, interpret, fast=False):
     return _reduce_sorted_rows(rows, gid2, n, interpret, fast)[:, :R]
 
 
-def _gid_expansion(offsets, n, capacity):
-    """Expansion-order gaussian id per slot: gid[s] = #(offsets <= s) - 1.
-
-    `offsets` (exclusive cumsum of per-gaussian slot counts, every count
-    >= 1) is strictly increasing, so one sorted scatter of markers plus a
-    cummax reconstructs the id stream without any sort."""
-    marks = jnp.zeros((capacity,), jnp.int32).at[
-        offsets.astype(jnp.int32)].max(
-        jnp.arange(n, dtype=jnp.int32), mode="drop",
-        indices_are_sorted=True, unique_indices=True)
-    return lax.cummax(marks)
-
-
-def _reduce_by_slot(dgeom, dcolor, slot_sorted, offsets, n, interpret,
-                    fast=False):
-    """Scatter-based variant of `_reduce_by_gid`: inverse-permute the
-    gradient rows back to EXPANSION order — where each gaussian's slots are
-    contiguous by construction — with one int scatter + one row gather,
-    then run the same windowed one-hot reduce. Replaces the multi-operand
-    gid sort (the single most expensive op of the backward) with two
-    permutation ops."""
-    R = 2 + dgeom.shape[0] + dcolor.shape[0]    # + the 2 recovered abs rows
-    capacity = dgeom.shape[1]
-    R_pad = TABLE_D
-
-    # inverse permutation: inv[s] = position of expansion slot s in the
-    # key-sorted stream (slot_sorted is a permutation of [0, capacity))
-    slot_i = slot_sorted.astype(jnp.int32)
-    inv = jnp.zeros((capacity,), jnp.int32).at[slot_i].set(
-        jnp.arange(capacity, dtype=jnp.int32), unique_indices=True)
-
-    grad_rows = list(dgeom) + list(dcolor)      # dmx dmy da db dc dop ch..
-    # AbsGS |d means2d| is per-slot: abs is order-independent, so it can be
-    # built before the permutation
-    rows_key = jnp.stack(
-        grad_rows[:6] + [jnp.abs(grad_rows[0]), jnp.abs(grad_rows[1])]
-        + grad_rows[6:] + [jnp.zeros((capacity,), jnp.float32)]
-        * (R_pad - R), axis=1)                  # [cap, R_pad]
-    rows = jnp.take(rows_key, inv, axis=0).T    # [R_pad, cap] exp. order
-
-    gid_exp = _gid_expansion(offsets, n, capacity).astype(jnp.float32)
-    return _reduce_sorted_rows(rows, gid_exp, n, interpret, fast)[:, :R]
+# (A scatter-based reduce variant — inverse-permute gradients back to
+# expansion order via one int scatter + row gather instead of the gid sort —
+# was measured SLOWER on the live v5e in round 3 (GSL_SCATTER_REDUCE,
+# NOTES_ROUND3.md): the [cap, 16]-row gather runs at gather speed. Removed
+# in round 4; see git history for the code.)
 
 
 def _reduce_sorted_rows(rows, gid2, n, interpret, fast=False):
@@ -1513,13 +1410,12 @@ def _image_to_tiles(img, tiles_y, tiles_x, ts):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15))
 def rasterize_pallas(means2d, conics, opacities, channels, absgrad_tap,
                      isects, img_height, img_width, tile_size=16, chunk=128,
                      interpret=False, capacity=None,
                      tile_based_culling=False, fast=False,
-                     stp_resort=False, scatter_reduce=None,
-                     exact_sort=False):
+                     stp_resort=False, exact_sort=False):
     """Rasterize with the Pallas TPU kernels.
 
     Returns (channels_img [H, W, C] WITHOUT background blending,
@@ -1536,7 +1432,7 @@ def rasterize_pallas(means2d, conics, opacities, channels, absgrad_tap,
     out, _ = _fwd_impl(means2d, conics, opacities, channels, isects,
                        img_height, img_width, tile_size, chunk, interpret,
                        capacity, tile_based_culling, fast, stp_resort,
-                       scatter_reduce, exact_sort)
+                       exact_sort)
     return out
 
 
@@ -1548,17 +1444,10 @@ def _resolve_capacity(n, capacity):
     return -(-capacity // blk) * blk
 
 
-def _resolve_scatter_reduce(scatter_reduce):
-    if scatter_reduce is None:
-        return os.environ.get("GSL_SCATTER_REDUCE", "0") == "1"
-    return bool(scatter_reduce)
-
-
 def _fwd_impl(means2d, conics, opacities, channels, isects,
               img_height, img_width, tile_size, chunk, interpret,
               capacity, tile_based_culling, fast=False, stp_resort=False,
-              scatter_reduce=None, exact_sort=False):
-    scatter_reduce = _resolve_scatter_reduce(scatter_reduce)
+              exact_sort=False):
     tiles_x = -(-img_width // tile_size)
     tiles_y = -(-img_height // tile_size)
     n_tiles = tiles_x * tiles_y
@@ -1568,22 +1457,12 @@ def _fwd_impl(means2d, conics, opacities, channels, isects,
     depth_bits = 32 - tile_bits
 
     with jax.named_scope("gs_expand_sort"):
-        # in scatter-reduce mode `gid_sorted` carries the expansion SLOT
-        # id of each sorted position instead of the gaussian id
-        if os.environ.get("GSL_EXPAND_MODE", "kernel") == "xla":
-            sorted_keys, gid_sorted, geom_s, color_s, stp_s = \
-                _expand_sorted_xla(
-                    means2d, conics, opacities, channels, isects, capacity,
-                    tile_size, tiles_x, tiles_y, depth_bits,
-                    tile_based_culling, stp_resort,
-                    emit_slotid=scatter_reduce)
-        else:
-            sorted_keys, gid_sorted, geom_s, color_s, stp_s = \
-                _expand_sorted(
-                    means2d, conics, opacities, channels, isects, capacity,
-                    tile_size, tiles_x, tiles_y, depth_bits,
-                    tile_based_culling, interpret, fast, stp_resort,
-                    emit_slotid=scatter_reduce, exact_sort=exact_sort)
+        sorted_keys, gid_sorted, geom_s, color_s, stp_s = \
+            _expand_sorted(
+                means2d, conics, opacities, channels, isects, capacity,
+                tile_size, tiles_x, tiles_y, depth_bits,
+                tile_based_culling, interpret, fast, stp_resort,
+                exact_sort=exact_sort)
     with jax.named_scope("gs_schedule"):
         sched = _build_schedule(sorted_keys, n_tiles, depth_bits, capacity,
                                 STREAM_BLOCK)
@@ -1613,17 +1492,17 @@ def _fwd_impl(means2d, conics, opacities, channels, isects,
 def _rasterize_fwd(means2d, conics, opacities, channels, absgrad_tap,
                    isects, img_height, img_width, tile_size, chunk,
                    interpret, capacity, tile_based_culling, fast,
-                   stp_resort, scatter_reduce, exact_sort):
+                   stp_resort, exact_sort):
     (out, alpha), res = _fwd_impl(
         means2d, conics, opacities, channels, isects, img_height, img_width,
         tile_size, chunk, interpret, capacity, tile_based_culling, fast,
-        stp_resort, scatter_reduce, exact_sort)
+        stp_resort, exact_sort)
     return (out, alpha), res + (isects,)
 
 
 def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
                    capacity, tile_based_culling, fast, stp_resort,
-                   scatter_reduce, exact_sort, res, cotangents):
+                   exact_sort, res, cotangents):
     (geom_s, color_s, stp_s, gid_sorted, sched, tfin_t, istop_t, n_real, n,
      isects) = res
     g_out, g_alpha = cotangents
@@ -1649,12 +1528,8 @@ def _rasterize_bwd(img_height, img_width, tile_size, chunk, interpret,
     dcolor_s = jnp.where(live, dcolor_s, 0.0)
 
     with jax.named_scope("gs_grad_reduce"):
-        if _resolve_scatter_reduce(scatter_reduce):
-            summed = _reduce_by_slot(dgeom_s, dcolor_s, gid_sorted,
-                                     isects.offsets, n, interpret, fast)
-        else:
-            summed = _reduce_by_gid(dgeom_s, dcolor_s, gid_sorted, n,
-                                    interpret, fast)
+        summed = _reduce_by_gid(dgeom_s, dcolor_s, gid_sorted, n,
+                                interpret, fast)
     # gaussians truncated entirely out of the slot budget have no window in
     # the reduce pass: their output rows are uninitialized -> zero them
     summed = jnp.where((isects.offsets < capacity_r)[:, None], summed, 0.0)

@@ -43,9 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .rasterize_pallas import (BIG_F32, BIG_I32, EXPAND_BLOCK, RED_B,
                                STREAM_BLOCK, TABLE_D, WINDOW, ChunkSchedule,
-                               PaddedIsects, _build_schedule, _gid_expansion,
+                               PaddedIsects, _build_schedule,
                                _pixel_coords, _reduce_sorted_rows,
-                               _resolve_scatter_reduce, _tiles_to_image,
+                               _tiles_to_image,
                                _image_to_tiles, _unpack)
 from .rasterize_reference import ALPHA_THRESHOLD, MIN_TRANSMITTANCE
 from .surfel import FAR_2D, FILTER_INV_SQUARE, MAX_ALPHA_2D, NEAR_2D
@@ -63,7 +63,6 @@ def _expand_kernel_s(
     win0_ref, win1_ref,
     out_ref,
     *, n_channels: int, tiles_x: int, tiles_y: int, depth_bits: int,
-    emit_slotid: bool = False,
 ):
     b = pl.program_id(0)
     B = EXPAND_BLOCK
@@ -111,8 +110,7 @@ def _expand_kernel_s(
 
     n_payload = N_GEOM_S + n_channels
     out_ref[0:1, :] = lax.bitcast_convert_type(key, jnp.float32)
-    # scatter-reduce mode: carry the expansion SLOT id (exact in f32)
-    out_ref[1:2, :] = s if emit_slotid else gid
+    out_ref[1:2, :] = gid
     out_ref[2:2 + n_payload, :] = rowT[5:5 + n_payload, :]
     pad = TABLE_DS - 2 - n_payload
     if pad:
@@ -120,8 +118,7 @@ def _expand_kernel_s(
 
 
 def _expand_sorted_s(Tu, Tv, Tw, zcoef, opacities, channels, isects,
-                     capacity, tiles_x, tiles_y, depth_bits, interpret,
-                     emit_slotid=False):
+                     capacity, tiles_x, tiles_y, depth_bits, interpret):
     """Returns (sorted_keys u32, gid f32, surf_s [24, cap])."""
     n, c = channels.shape
     B = EXPAND_BLOCK
@@ -164,8 +161,7 @@ def _expand_sorted_s(Tu, Tv, Tw, zcoef, opacities, channels, isects,
     rows = pl.pallas_call(
         functools.partial(
             _expand_kernel_s, n_channels=c, tiles_x=tiles_x,
-            tiles_y=tiles_y, depth_bits=depth_bits,
-            emit_slotid=emit_slotid),
+            tiles_y=tiles_y, depth_bits=depth_bits),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((TABLE_DS, capacity), jnp.float32),
         interpret=interpret,
@@ -681,13 +677,10 @@ def _fwd_impl_s(Tu, Tv, Tw, zcoef, opacities, channels, isects,
     tile_bits = max(int(np.ceil(np.log2(n_tiles + 1))), 1)
     depth_bits = 32 - tile_bits
 
-    scatter_reduce = _resolve_scatter_reduce(None)
     with jax.named_scope("surfel_expand_sort"):
-        # scatter-reduce mode: `gid_sorted` carries the expansion SLOT id
         sorted_keys, gid_sorted, surf_s = _expand_sorted_s(
             Tu, Tv, Tw, zcoef, opacities, channels, isects, capacity,
-            tiles_x, tiles_y, depth_bits, interpret,
-            emit_slotid=scatter_reduce)
+            tiles_x, tiles_y, depth_bits, interpret)
     with jax.named_scope("surfel_schedule"):
         sched = _build_schedule(sorted_keys, n_tiles, depth_bits, capacity,
                                 STREAM_BLOCK)
@@ -759,29 +752,18 @@ def _surfel_bwd(img_height, img_width, tile_size, chunk, interpret,
     live = (pos < n_real)[None, :]
     dsurf_s = jnp.where(live, dsurf_s, 0.0)
 
-    # reduce 13 + C gradient rows by gid: either a payload sort or (in
-    # scatter-reduce mode) one inverse permutation back to expansion order
-    # where gids are contiguous; the windowed reduce kernel runs per
-    # 16-row group either way
+    # reduce 13 + C gradient rows by gid: a payload-carrying sort groups
+    # each gaussian's slots contiguously; the windowed reduce kernel runs
+    # per 16-row group. (A scatter-based inverse-permutation variant was
+    # measured slower in round 3 — GSL_SCATTER_REDUCE, NOTES_ROUND3.md —
+    # and removed in round 4.)
     R = N_GEOM_S + C
     with jax.named_scope("surfel_grad_reduce"):
-        if _resolve_scatter_reduce(None):
-            slot_i = gid_sorted.astype(jnp.int32)
-            inv = jnp.zeros((capacity_r,), jnp.int32).at[slot_i].set(
-                jnp.arange(capacity_r, dtype=jnp.int32),
-                unique_indices=True)
-            rows_exp = jnp.take(
-                jnp.stack([dsurf_s[i] for i in range(R)], axis=1),
-                inv, axis=0)                           # [cap, R]
-            gid2 = _gid_expansion(isects.offsets, n,
-                                  capacity_r).astype(jnp.float32)
-            srows = [rows_exp[:, i] for i in range(R)]
-        else:
-            ops = lax.sort(
-                (gid_sorted,) + tuple(dsurf_s[i] for i in range(R)),
-                num_keys=1, is_stable=True)
-            gid2 = ops[0]
-            srows = list(ops[1:])
+        ops = lax.sort(
+            (gid_sorted,) + tuple(dsurf_s[i] for i in range(R)),
+            num_keys=1, is_stable=True)
+        gid2 = ops[0]
+        srows = list(ops[1:])
         outs = []
         for g0 in range(0, R, TABLE_D):
             grp = srows[g0:g0 + TABLE_D]

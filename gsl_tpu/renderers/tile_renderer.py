@@ -212,7 +212,7 @@ class TileRenderer:
                     isects_p, img_height, img_width, cfg.tile_size,
                     cfg.pallas_chunk, False, isect_capacity,
                     cfg.tile_based_culling, cfg.fast_math, cfg.stp_resort,
-                    None, cfg.exact_sort)
+                    cfg.exact_sort)
             img = img_nobg + (1.0 - alpha)[..., None] * bgv[None, None, :]
             n_isects, n_dropped = isects_p.n_isects, isects_p.n_dropped
         else:

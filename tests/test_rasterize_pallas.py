@@ -235,58 +235,6 @@ def test_stp_per_pixel_resort():
                                atol=1e-5)
 
 
-def test_scatter_reduce_matches_sort_reduce():
-    """scatter_reduce=True (inverse-permute grads to expansion order, no
-    gid sort) produces the same forward image and the same input gradients
-    as the sort-based reduce, up to f32 summation-order noise."""
-    proj, opac, colors = _project(500, 7)
-    isects = isect_encode_padded(proj, H, W, TS, capacity=8192, chunk=CHUNK)
-
-    def loss(scatter, m, c, o, col, tap):
-        img, alpha = rasterize_pallas(
-            m, c, o, col, tap, isects, H, W, TS, CHUNK, True,
-            8192, False, False, False, scatter)
-        return jnp.sum(img ** 2) + jnp.sum(alpha ** 2)
-
-    tap = jnp.zeros_like(proj.means2d)
-    args = (proj.means2d, proj.conics, opac, colors, tap)
-    ls = loss(False, *args)
-    lc = loss(True, *args)
-    np.testing.assert_allclose(float(ls), float(lc), rtol=1e-6)
-
-    gs = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 2, 3, 4))(*args)
-    gc = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1, 2, 3, 4))(*args)
-    for a, b in zip(gs, gc):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=1e-4, atol=1e-6)
-
-
-def test_xla_expand_matches_kernel_expand(monkeypatch):
-    """GSL_EXPAND_MODE=xla (gather-based expand, 2-operand sort) produces
-    identical forward images and gradients to the windowed expand kernel,
-    in both reduce modes and with tile culling + stp on."""
-    proj, opac, colors = _project(500, 11)
-    isects = isect_encode_padded(proj, H, W, TS, capacity=8192, chunk=CHUNK)
-
-    def loss(m, c, o, col):
-        img, alpha = rasterize_pallas(
-            m, c, o, col, jnp.zeros_like(m), isects, H, W, TS, CHUNK, True,
-            8192, True, False, True, True)
-        return jnp.sum(img ** 2) + jnp.sum(alpha ** 2)
-
-    args = (proj.means2d, proj.conics, opac, colors)
-    monkeypatch.delenv("GSL_EXPAND_MODE", raising=False)
-    lk = float(loss(*args))
-    gk = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
-    monkeypatch.setenv("GSL_EXPAND_MODE", "xla")
-    lx = float(loss(*args))
-    gx = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
-    np.testing.assert_allclose(lx, lk, rtol=1e-6)
-    for a, b in zip(gk, gx):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=1e-5, atol=1e-7)
-
-
 def test_exact_sort_orders_quantized_ties():
     """exact_sort=True composites in EXACT (tile, f32 depth) order: two
     splats whose depths collide in the packed key's truncated depth bits
@@ -318,7 +266,7 @@ def test_exact_sort_orders_quantized_ties():
         img, alpha = rasterize_pallas(
             means2d, conics, opac, colors, jnp.zeros_like(means2d),
             isects, H, W, TS, CHUNK, True, 1024, False, False, False,
-            None, exact)
+            exact)
         return img
 
     px_exact = np.asarray(render(True))[8, 8]
@@ -332,7 +280,7 @@ def test_exact_sort_orders_quantized_ties():
     # gradients flow through the exact-sort path
     g = jax.grad(lambda m: jnp.sum(rasterize_pallas(
         m, conics, opac, colors, jnp.zeros_like(m), isects, H, W, TS,
-        CHUNK, True, 1024, False, False, False, None, True)[0]))(means2d)
+        CHUNK, True, 1024, False, False, False, True)[0]))(means2d)
     assert np.all(np.isfinite(np.asarray(g)))
 
 
@@ -345,7 +293,7 @@ def test_exact_sort_matches_packed_on_generic_scene():
     def loss(m, exact):
         img, alpha = rasterize_pallas(
             m, proj.conics, opac, colors, jnp.zeros_like(m), isects,
-            H, W, TS, CHUNK, True, 8192, False, False, False, None, exact)
+            H, W, TS, CHUNK, True, 8192, False, False, False, exact)
         return jnp.sum(img) + jnp.sum(alpha), img
 
     (l0, img0), g0 = jax.value_and_grad(

@@ -147,24 +147,3 @@ def test_surfel_renderer_pallas_backend():
                                    err_msg=f"mismatch in {key}")
 
 
-def test_surfel_scatter_reduce_matches_sort_reduce(monkeypatch):
-    """GSL_SCATTER_REDUCE=1 on the surfel path: gradients match the
-    sort-based reduce up to f32 summation order."""
-    proj, op, ch = _scene(n=40, seed=6)
-    rng = np.random.RandomState(2)
-    w_img = jnp.asarray(rng.rand(H, W, 6), jnp.float32)
-    w_a = jnp.asarray(rng.rand(H, W), jnp.float32)
-
-    def loss(Tu, Tv, Tw, zc, o, c):
-        p = proj._replace(Tu=Tu, Tv=Tv, Tw=Tw, zcoef=zc)
-        img, alpha, expd, med, dist = _pallas(p, o, c)
-        return jnp.sum(img * w_img) + jnp.sum(alpha * w_a)
-
-    args = (proj.Tu, proj.Tv, proj.Tw, proj.zcoef, op, ch)
-    monkeypatch.delenv("GSL_SCATTER_REDUCE", raising=False)
-    gs = jax.grad(loss, argnums=tuple(range(6)))(*args)
-    monkeypatch.setenv("GSL_SCATTER_REDUCE", "1")
-    gc = jax.grad(loss, argnums=tuple(range(6)))(*args)
-    for a, b in zip(gs, gc):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=1e-4, atol=1e-6)

@@ -125,7 +125,7 @@ def sort_diff_at_bench_scale():
     def render(m2d, exact):
         img, alpha = rp.rasterize_pallas(
             m2d, proj.conics, opac, colors, jnp.zeros_like(m2d), isects,
-            H, W, 16, 128, interp, cap_i, False, False, False, None,
+            H, W, 16, 128, interp, cap_i, False, False, False,
             exact)
         return img, alpha
 
@@ -261,10 +261,13 @@ def main():
         # the phase's own train_log.csv
         out_dir = os.path.join(args.workdir, tag)
         # periodic saves so a TPU-worker crash mid-phase (axon tunnel,
-        # NOTES_ROUND4 fault) resumes from the last 5k boundary instead of
-        # restarting the phase
+        # NOTES_ROUND4 fault) resumes from a recent boundary instead of
+        # restarting the phase; dense early (small state, and the known
+        # fault zone is ~step 1500-2600), sparser once the state is large
+        saves = (list(range(1000, min(steps, 10000), 1000))
+                 + list(range(10000, steps, 5000)))
         cfg = FitConfig(max_steps=steps, output_dir=out_dir,
-                        save_iterations=list(range(5000, steps, 5000)),
+                        save_iterations=saves,
                         save_ply=False,
                         log_interval=500, resume="auto", seed=seed)
         already_done = os.path.isdir(
