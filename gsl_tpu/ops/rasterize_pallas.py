@@ -131,6 +131,33 @@ def _unpack_rows(packed, n):
     return out[:n]
 
 
+def _cumsum_mxu(x):
+    """Inclusive cumsum of a non-negative int32 [N] vector via two-level
+    MXU triangle matmuls on a [N/128, 128] reshape (XLA's 1D cumsum lowers
+    to a slow multi-pass scan at bench scale).
+
+    Exactness: computed in f32 with HIGHEST precision — exact for totals
+    < 2^24. Beyond that (isect totals past 16.7M, far above any usable
+    slot capacity) rounding is monotone and values >= 2^24 stay far above
+    any real capacity, so every downstream `offsets <= s` / searchsorted
+    comparison against slot ids s < capacity remains exact."""
+    N = x.shape[0]
+    M = -(-N // 128)
+    xp = jnp.pad(x.astype(jnp.float32), (0, M * 128 - N)).reshape(M, 128)
+    tri = (lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+           <= lax.broadcasted_iota(jnp.int32, (128, 128), 1)).astype(
+               jnp.float32)
+    row_in = jnp.dot(xp, tri, precision=lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)   # [M, 128]
+    row_tot = row_in[:, -1]                                # [M]
+    if M > 256:
+        prefix = _cumsum_mxu(row_tot)
+    else:
+        prefix = jnp.cumsum(row_tot)
+    prefix = jnp.concatenate([jnp.zeros((1,), jnp.float32), prefix[:-1]])
+    return (row_in + prefix[:, None]).reshape(M * 128)[:N]
+
+
 class PaddedIsects(NamedTuple):
     """[N]-sized expansion precompute (no per-slot arrays)."""
 
@@ -170,9 +197,9 @@ def isect_encode_padded(
     # bounds every window of B consecutive slots to <= B+1 CONSECUTIVE
     # gaussians, the invariant behind the windowed expand/reduce kernels
     num_pad = jnp.maximum(num_hit, 1)
-    cum = jnp.cumsum(num_pad)
-    total = cum[-1]
-    offsets = cum - num_pad
+    cum = _cumsum_mxu(num_pad)
+    total = cum[-1].astype(jnp.int32)
+    offsets = cum - num_pad.astype(jnp.float32)
 
     total_real = jnp.sum(num_hit)
     return PaddedIsects(

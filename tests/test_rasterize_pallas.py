@@ -304,3 +304,21 @@ def test_exact_sort_matches_packed_on_generic_scene():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_cumsum_mxu_contract():
+    """The two-level MXU cumsum that builds expansion offsets: exact for
+    totals < 2^24 (any usable slot capacity), monotone beyond."""
+    from gsl_tpu.ops.rasterize_pallas import _cumsum_mxu
+
+    for n in (1, 127, 128, 1000, 40000, 300_000):
+        rng = np.random.RandomState(n % 97)
+        x = rng.randint(0, 13, n).astype(np.int32)
+        got = np.asarray(_cumsum_mxu(jnp.asarray(x))).astype(np.int64)
+        assert np.array_equal(got, np.cumsum(x)), n
+    x = np.full(1_000_000, 50, np.int32)   # total 50M > 2^24
+    got = np.asarray(_cumsum_mxu(jnp.asarray(x))).astype(np.int64)
+    want = np.cumsum(x)
+    lo = want < 2 ** 24
+    assert np.array_equal(got[lo], want[lo])
+    assert np.all(np.diff(got) >= 0)
