@@ -421,7 +421,9 @@ def _expand_sorted(means2d, conics, opacities, channels, isects,
     n_blocks = capacity // B
     starts = jnp.arange(n_blocks, dtype=jnp.int32) * B
     g_lo = jnp.clip(
-        jnp.searchsorted(isects.offsets, starts, side="right") - 1, 0, n)
+        _searchsorted_vec(isects.offsets.astype(jnp.float32),
+                          starts.astype(jnp.float32), side="right") - 1,
+        0, n)
     glo_blk = g_lo // B                                # aligned window index
     total = jnp.minimum(isects.total_padded, capacity)
 
@@ -537,13 +539,44 @@ class ChunkSchedule(NamedTuple):
     tile_counts: jnp.ndarray    # [n_tiles] i32
 
 
+def _searchsorted_vec(keys, queries, side="left", pad_value=None):
+    """searchsorted of `queries` into SORTED `keys` as two broadcast-compare
+    passes instead of XLA's ~log2(N) serial gather rounds: a count over the
+    128-decimated keys picks the 128-row, one contiguous row-gather + lane
+    count refines. `pad_value` must compare >= every key (and must not
+    compare < / <= any query). Returns i32.
+
+    Derivation: p := #(keys OP q) (OP is < for side='left', <= for
+    'right'). pos1 = #(D1 OP q) over D1 = keys[::128] brackets p into
+    [128*pos1 - 127, 128*pos1], which lies inside row pos1-1 (plus its
+    right edge), so counting OP within that one row recovers p exactly;
+    pos1 == 0 means p == 0 and row 0 counts 0."""
+    n = keys.shape[0]
+    M = -(-n // 128)
+    if pad_value is None:
+        pad_value = (jnp.uint32(0xFFFFFFFF) if keys.dtype == jnp.uint32
+                     else jnp.inf)
+    kp = jnp.pad(keys, (0, M * 128 - n),
+                 constant_values=pad_value).reshape(M, 128)
+    D1 = kp[:, 0]                                       # keys[::128]
+
+    def cmp(a, b):
+        return (a < b) if side == "left" else (a <= b)
+
+    pos1 = jnp.sum(cmp(D1[None, :], queries[:, None]).astype(jnp.int32),
+                   axis=1)                              # [Q]
+    r = jnp.maximum(pos1 - 1, 0)
+    rows = jnp.take(kp, r, axis=0)                      # [Q, 128]
+    cnt = jnp.sum(cmp(rows, queries[:, None]).astype(jnp.int32), axis=1)
+    return jnp.minimum(r * 128 + cnt, n)
+
+
 def _build_schedule(sorted_keys, n_tiles, depth_bits, capacity, sb):
     """One entry per (tile, STREAM_BLOCK) pair; `sb`-local [lo, hi) packed in
     the flags (11 bits each)."""
     G = capacity // sb + n_tiles
     tile_range = jnp.arange(n_tiles + 1, dtype=jnp.uint32) << depth_bits
-    bounds = jnp.searchsorted(sorted_keys, tile_range,
-                              side="left").astype(jnp.int32)
+    bounds = _searchsorted_vec(sorted_keys, tile_range)
     tile_starts, tile_ends = bounds[:-1], bounds[1:]
     counts = tile_ends - tile_starts
 

@@ -45,7 +45,7 @@ from .rasterize_pallas import (BIG_F32, BIG_I32, EXPAND_BLOCK, RED_B,
                                STREAM_BLOCK, TABLE_D, WINDOW, ChunkSchedule,
                                PaddedIsects, _build_schedule,
                                _pixel_coords, _reduce_sorted_rows,
-                               _tiles_to_image,
+                               _searchsorted_vec, _tiles_to_image,
                                _image_to_tiles, _unpack)
 from .rasterize_reference import ALPHA_THRESHOLD, MIN_TRANSMITTANCE
 from .surfel import FAR_2D, FILTER_INV_SQUARE, MAX_ALPHA_2D, NEAR_2D
@@ -145,7 +145,9 @@ def _expand_sorted_s(Tu, Tv, Tw, zcoef, opacities, channels, isects,
     n_blocks = capacity // B
     starts = jnp.arange(n_blocks, dtype=jnp.int32) * B
     g_lo = jnp.clip(
-        jnp.searchsorted(isects.offsets, starts, side="right") - 1, 0, n)
+        _searchsorted_vec(isects.offsets.astype(jnp.float32),
+                          starts.astype(jnp.float32), side="right") - 1,
+        0, n)
     glo_blk = g_lo // B
     total = jnp.minimum(isects.total_padded, capacity)
 

@@ -322,3 +322,30 @@ def test_cumsum_mxu_contract():
     lo = want < 2 ** 24
     assert np.array_equal(got[lo], want[lo])
     assert np.all(np.diff(got) >= 0)
+
+
+def test_searchsorted_vec_matches_jnp():
+    """Two-pass broadcast searchsorted == jnp.searchsorted on both sides,
+    incl. duplicate runs, all-equal keys, queries beyond both ends, and
+    the 0xFFFFFFFF invalid-key marker."""
+    from gsl_tpu.ops.rasterize_pallas import _searchsorted_vec
+
+    rng = np.random.RandomState(3)
+    for n in (1, 127, 257, 5000):
+        keys = np.sort(rng.randint(0, 300, n).astype(np.uint32))
+        keys[-max(n // 8, 1):] = np.uint32(0xFFFFFFFF)
+        keys = np.sort(keys)
+        q = np.concatenate([rng.randint(0, 310, 64),
+                            [0, 299, 2 ** 31]]).astype(np.uint32)
+        for side in ("left", "right"):
+            want = np.searchsorted(keys, q, side=side)
+            got = np.asarray(_searchsorted_vec(
+                jnp.asarray(keys), jnp.asarray(q), side=side))
+            assert np.array_equal(got, want), (n, side)
+        kf = np.sort(rng.uniform(0, 1000, n)).astype(np.float32)
+        qf = rng.uniform(-1, 1001, 64).astype(np.float32)
+        for side in ("left", "right"):
+            want = np.searchsorted(kf, qf, side=side)
+            got = np.asarray(_searchsorted_vec(
+                jnp.asarray(kf), jnp.asarray(qf), side=side))
+            assert np.array_equal(got, want), (n, side, "f32")
