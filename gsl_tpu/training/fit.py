@@ -309,6 +309,13 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
         state, scalars = step_hook(
             state, k_step, step, sh_degree, cam, name, jnp.asarray(img),
             jmask, H, W, isect_capacity)
+        if os.environ.get("GSL_DEBUG_STEPS"):
+            # per-step forced sync + state print (axon worker-crash triage)
+            print(f"[dbg] step={step} "
+                  f"n_dropped={int(scalars['n_dropped_isects'])} "
+                  f"n_isects={int(scalars.get('n_isects', -1))} "
+                  f"n_alive={int(state.gaussians.n_alive)} "
+                  f"loss={float(scalars['loss']):.5f}", flush=True)
         if step % 50 == 0 and int(scalars["n_dropped_isects"]) > 0:
             # 1.5x growth (512-aligned): sort/binning cost is linear in the
             # slot capacity, so over-provisioning is paid on every step
