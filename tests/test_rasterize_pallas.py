@@ -339,8 +339,13 @@ def test_searchsorted_vec_matches_jnp():
                             [0, 299, 2 ** 31]]).astype(np.uint32)
         for side in ("left", "right"):
             want = np.searchsorted(keys, q, side=side)
+            # uint32 side='right' must pass an explicit pad (the default
+            # 0xFFFFFFFF pad would count pad rows for a query equal to
+            # it — ADVICE r4); here no query reaches the marker value
+            kw = {} if side == "left" else \
+                {"pad_value": jnp.uint32(0xFFFFFFFF)}
             got = np.asarray(_searchsorted_vec(
-                jnp.asarray(keys), jnp.asarray(q), side=side))
+                jnp.asarray(keys), jnp.asarray(q), side=side, **kw))
             assert np.array_equal(got, want), (n, side)
         kf = np.sort(rng.uniform(0, 1000, n)).astype(np.float32)
         qf = rng.uniform(-1, 1001, 64).astype(np.float32)

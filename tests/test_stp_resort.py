@@ -135,6 +135,36 @@ def test_stp_bwd_matches_windowed_oracle():
                                    np.asarray(b) / denom, atol=2e-3)
 
 
+def test_stp_bwd_fast_mode_matches_oracle():
+    """FAST+stp gradient parity (regression: round-4 commit 5363c66 made
+    the fast backward's moment recombination read geom means as
+    tile-center-relative, but the stp expand layout keeps ABSOLUTE f32
+    means — every fast+stp mean/conic gradient was recombined in the
+    wrong frame, and no test ran the fast+stp backward)."""
+    scene = _make_scene(24, seed=7)
+    wr = jnp.asarray(np.random.RandomState(1).rand(H, W, 3), jnp.float32)
+    wa = jnp.asarray(np.random.RandomState(2).rand(H, W), jnp.float32)
+
+    def loss(fast, m, c, o, ch):
+        proj = Projections(
+            means2d=m, depths=scene[4],
+            radii=jnp.full((m.shape[0],), 8, jnp.int32), conics=c,
+            compensations=jnp.ones(m.shape[0]),
+            mask=jnp.ones(m.shape[0], bool), depth_grads=scene[5])
+        isects = isect_encode_padded(proj, H, W, TS, capacity=1024)
+        img, alpha = rasterize_pallas(
+            m, c, o, ch, jnp.zeros_like(m), isects, H, W, TS, 128, True,
+            1024, False, fast, True)
+        return jnp.sum(img * wr) + jnp.sum(alpha * wa)
+
+    ge = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1))(*scene[:4])
+    gf = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1))(*scene[:4])
+    for a, b in zip(ge, gf):
+        denom = np.abs(np.asarray(a)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(b) / denom,
+                                   np.asarray(a) / denom, atol=0.03)
+
+
 def test_stp_trivial_ordering_matches_plain():
     """With kz = 0 and no transmittance saturation, the per-pixel order
     equals the key order and STP must reproduce the plain renderer."""
