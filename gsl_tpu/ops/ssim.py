@@ -107,19 +107,30 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     sigma12 = blur(img1 * img2) - mu12
     if fast:
         # The banded-MXU blurs carry an ABSOLUTE ~2^-9*|img^2| rounding on
-        # blur(img^2), so the variance difference can land below -C2 in
-        # near-flat windows — flipping the denominator sign and breaking
-        # the SSIM <= 1 bound (observed as an impossible negative train
-        # loss in the round-4 quality run, VERDICT r4 weak #5). Restore
-        # the mathematical invariants the exact path has: variances >= 0
-        # and |sigma12| <= sigma1*sigma2 (Cauchy-Schwarz), which bound
-        # ssim_map to [-1, 1]. stop_gradient on the projection bound: a
-        # binding clamp means the covariance estimate is rounding noise,
-        # where a pass-through gradient could blow up (d sqrt at ~0).
+        # blur(img^2) (TPU MXU operand truncation), so the variance
+        # difference can land below -C2 in near-flat windows — flipping
+        # the denominator sign and breaking the SSIM <= 1 bound (observed
+        # as an impossible negative train loss in the round-4 quality
+        # run, VERDICT r4 weak #5). Restore the exact path's invariants:
+        # variances >= 0 and |sigma12| <~ sigma1*sigma2 (Cauchy-Schwarz).
+        # The projection bound is inflated by an absolute 1e-6 so it can
+        # only bind on REAL violations (~1e-3 class): in benign flat
+        # windows sigma12 ~ +-ulp and the clamp must stay inactive, or
+        # its gradient discontinuity makes dL/dimg depend on last-ulp
+        # reduction order (the sigma12 chain has gain ~2/C2 there).
+        # stop_gradient on the bound: a binding clamp means the
+        # covariance estimate is rounding noise.
         sigma1_sq = jnp.maximum(sigma1_sq, 0.0)
         sigma2_sq = jnp.maximum(sigma2_sq, 0.0)
-        bound = lax.stop_gradient(jnp.sqrt(sigma1_sq * sigma2_sq))
+        bound = lax.stop_gradient(
+            jnp.sqrt(sigma1_sq * sigma2_sq)) + 1e-6
         sigma12 = jnp.clip(sigma12, -bound, bound)
     ssim_map = ((2.0 * mu12 + _C1) * (2.0 * sigma12 + _C2)) / (
         (mu1_sq + mu2_sq + _C1) * (sigma1_sq + sigma2_sq + _C2))
-    return jnp.mean(ssim_map)
+    m = jnp.mean(ssim_map)
+    if fast:
+        # the epsilon-inflated bound admits up to ~+2e-3 per fully
+        # degenerate window; cap the MEAN at 1 (pass-through where <= 1)
+        # so 1 - ssim — and the train loss — stays >= 0 exactly
+        m = jnp.where(m > 1.0, 1.0, m)
+    return m
