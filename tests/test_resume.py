@@ -30,7 +30,7 @@ def _cfg(out_dir, max_steps, resume="auto"):
         },
         "trainer": {"max_steps": max_steps},
         "fit": {"max_steps": max_steps, "output_dir": out_dir,
-                "min_capacity": 1024, "log_interval": 50,
+                "min_capacity": 1024, "log_interval": 4,
                 "save_iterations": [], "save_ply": False,
                 "resume": resume},
     }
@@ -68,6 +68,26 @@ def test_resume_matches_uninterrupted(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(ref.opt_state),
                     jax.tree_util.tree_leaves(res.opt_state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # loss continuity across the save->resume boundary (VERDICT r4 #3:
+    # the round-4 quality log showed an impossible loss right after a
+    # resume): the logged losses of the resumed run must match the
+    # uninterrupted run's AND satisfy the loss formula's invariant
+    # (0.8*L1 + 0.2*(1-SSIM) >= 0)
+    import csv as _csv
+
+    def logged(out):
+        with open(os.path.join(out, "train_log.csv")) as f:
+            return {int(r[0]): float(r[1])
+                    for r in list(_csv.reader(f))[1:]}
+
+    ref_log = logged(str(tmp_path / "ref"))
+    res_log = logged(str(tmp_path / "resumed"))
+    assert ref_log and res_log
+    for step, loss in res_log.items():
+        assert loss >= 0.0, f"impossible negative loss {loss} @ {step}"
+        if step in ref_log:
+            np.testing.assert_allclose(loss, ref_log[step], rtol=1e-6)
 
 
 def test_resume_never_starts_fresh(tmp_path):
