@@ -246,9 +246,15 @@ def main():
                 cached = json.load(f)
             print(f"[cache] {tag}: {cached}", flush=True)
             return None, None, None, cached
+        # GSL_QUALITY_MIN_ISECT_CAP pre-sizes the slot capacity: each
+        # adaptive growth retraces the train step while the old
+        # executable stays alive, and the axon worker has crashed near
+        # growth boundaries twice (NOTES_ROUND5) — pre-sizing removes
+        # the churn at the cost of linearly slower early-step sorts
+        mic = int(os.environ.get("GSL_QUALITY_MIN_ISECT_CAP", 1 << 20))
         trainer = trainer or Trainer(
             model=VanillaGaussianConfig(sh_degree=3),
-            renderer=TileRendererConfig(min_isect_capacity=1 << 20,
+            renderer=TileRendererConfig(min_isect_capacity=mic,
                                         fast_math=fast_math),
             density=VanillaDensityControllerConfig(
                 densify_until_iter=(densify_until
