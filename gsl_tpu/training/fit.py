@@ -46,6 +46,12 @@ class FitConfig:
     log_interval: int = 100
     capacity_multiplier: float = 4.0
     min_capacity: int = 1 << 15
+    min_isect_capacity: int = 0
+    """floor for the adaptive tile-intersection slot capacity. Pre-sizing
+    (together with min_capacity) removes mid-run capacity-growth
+    retraces of the train step — each retrace compiles another large
+    executable on the TPU worker, near which the axon worker has
+    repeatedly crashed (NOTES_ROUND5)."""
     seed: int = 42
     output_dir: str = "outputs/run"
     save_ply: bool = True
@@ -96,9 +102,11 @@ def _round_capacity(n: int) -> int:
 
 
 def _init_gaussians(trainer: Trainer, outputs: DataParserOutputs,
-                    cfg: FitConfig):
+                    cfg: FitConfig, capacity_override: int = None):
     """Point-cloud (or init_from artifact) initialization + optional
-    background sphere + Mip-Splatting 3D filter."""
+    background sphere + Mip-Splatting 3D filter. `capacity_override`
+    forces the exact model capacity (the resume path uses it to build a
+    template matching a checkpoint saved at a smaller capacity)."""
     pc = outputs.point_cloud
     if cfg.add_background_sphere:
         from ..data.dataset import add_background_sphere
@@ -108,7 +116,7 @@ def _init_gaussians(trainer: Trainer, outputs: DataParserOutputs,
         pc = add_background_sphere(pc, centers,
                                    cfg.background_sphere_distance,
                                    cfg.background_sphere_points)
-    capacity = _round_capacity(
+    capacity = capacity_override or _round_capacity(
         max(int(pc.xyz.shape[0] * cfg.capacity_multiplier),
             cfg.min_capacity))
     gaussians = trainer.model.init_from_pcd(pc.xyz, pc.rgb, capacity)
@@ -194,12 +202,14 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
                           cfg.matmul_precision)
     rng = jax.random.PRNGKey(cfg.seed)
 
-    gaussians, pc = _init_gaussians(trainer, outputs, cfg)
-    state = trainer.setup(gaussians, outputs.camera_extent,
-                          outputs.prune_extent)
-    if trainer.output_processor is not None:
-        state = trainer.init_output_processor(state,
-                                              len(outputs.train_set))
+    def build_template(capacity_override=None):
+        g, pc_ = _init_gaussians(trainer, outputs, cfg, capacity_override)
+        s = trainer.setup(g, outputs.camera_extent, outputs.prune_extent)
+        if trainer.output_processor is not None:
+            s = trainer.init_output_processor(s, len(outputs.train_set))
+        return s, pc_
+
+    state, pc = build_template()
 
     bg = jnp.asarray(trainer.config.background_color, jnp.float32)
     dataset = CachedDataset(outputs.train_set,
@@ -216,7 +226,9 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
 
     # adaptive tile-intersection capacity: start tight, grow 2x whenever the
     # binning reports drops (bucketed-recompile policy, SURVEY.md hard part 2)
-    isect_capacity = _round_capacity(max(8 * pc.xyz.shape[0], 1 << 18))
+    isect_capacity = _round_capacity(max(8 * pc.xyz.shape[0], 1 << 18,
+                                         cfg.min_isect_capacity))
+    template_capacity = int(state.params.capacity)
 
     # ---- mid-training resume (reference --ckpt_path last auto-search) ----
     start_step = 1
@@ -229,15 +241,26 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
     if resume_path is not None:
         meta = load_checkpoint_meta(resume_path)
         stored_cap = (meta or {}).get("capacity", state.params.capacity)
-        if stored_cap != state.params.capacity:
-            # capacity only ever grows from the initial value, so the grown
-            # template matches the stored shapes
+        if stored_cap > state.params.capacity:
+            # capacity grew since init: the grown template matches the
+            # stored shapes
             state = trainer.grow_state(state, stored_cap)
+        elif stored_cap < state.params.capacity:
+            # checkpoint predates a raised min_capacity: load into a
+            # template built at the stored capacity, grow after the load
+            state, _ = build_template(capacity_override=stored_cap)
+            state, _ = step_hook.init_state(state,
+                                            jax.random.PRNGKey(cfg.seed))
         state = load_checkpoint(resume_path, state)
+        if int(state.params.capacity) < template_capacity:
+            state = trainer.grow_state(state, template_capacity)
         start_step = int(state.step) + 1
         if meta is not None:
             rng = jnp.asarray(np.asarray(meta["rng"], np.uint32))
-            isect_capacity = int(meta.get("isect_capacity", isect_capacity))
+            isect_capacity = max(
+                int(meta.get("isect_capacity", isect_capacity)),
+                _round_capacity(cfg.min_isect_capacity)
+                if cfg.min_isect_capacity else 0)
         print(f"[fit] resumed {resume_path} -> continuing at {start_step}")
     if start_step > cfg.max_steps:
         print("[fit] checkpoint already at max_steps; nothing to train")

@@ -90,6 +90,26 @@ def test_resume_matches_uninterrupted(tmp_path):
             np.testing.assert_allclose(loss, ref_log[step], rtol=1e-6)
 
 
+def test_resume_with_raised_min_capacity(tmp_path):
+    """A checkpoint saved at a smaller model capacity must be loadable
+    after min_capacity is raised (pre-sizing to avoid capacity-growth
+    retraces, NOTES_ROUND5): fit loads into a template built at the
+    stored capacity, then grows to the configured one."""
+    _make_dataset(str(tmp_path))
+    _run(str(tmp_path), str(tmp_path / "o"), 8, resume="never")
+
+    trainer, dataparser_cfg, fit_cfg = build_components(
+        _cfg(str(tmp_path / "o"), 12, "auto"))
+    fit_cfg.min_capacity = 4096          # > the stored capacity (1024)
+    fit_cfg.min_isect_capacity = 1 << 15
+    dataparser_cfg.path = str(tmp_path)
+    outputs = dataparser_cfg.instantiate().get_outputs()
+    state, _ = fit(trainer, outputs, fit_cfg, val_at_end=False)
+    assert int(state.step) == 12
+    assert int(state.params.capacity) >= 4096
+    assert np.isfinite(np.asarray(state.params.means)).all()
+
+
 def test_resume_never_starts_fresh(tmp_path):
     _make_dataset(str(tmp_path))
     _run(str(tmp_path), str(tmp_path / "o"), 4, resume="never")

@@ -246,15 +246,16 @@ def main():
                 cached = json.load(f)
             print(f"[cache] {tag}: {cached}", flush=True)
             return None, None, None, cached
-        # GSL_QUALITY_MIN_ISECT_CAP pre-sizes the slot capacity: each
-        # adaptive growth retraces the train step while the old
-        # executable stays alive, and the axon worker has crashed near
-        # growth boundaries twice (NOTES_ROUND5) — pre-sizing removes
-        # the churn at the cost of linearly slower early-step sorts
+        # GSL_QUALITY_MIN_ISECT_CAP pre-sizes the slot capacity (via
+        # FitConfig.min_isect_capacity): each adaptive growth retraces
+        # the train step while the old executable stays alive, and the
+        # axon worker has crashed near growth boundaries in rounds 4 AND
+        # 5 (NOTES_ROUND5) — pre-sizing removes the churn at the cost of
+        # linearly slower early-step sorts
         mic = int(os.environ.get("GSL_QUALITY_MIN_ISECT_CAP", 1 << 20))
         trainer = trainer or Trainer(
             model=VanillaGaussianConfig(sh_degree=3),
-            renderer=TileRendererConfig(min_isect_capacity=mic,
+            renderer=TileRendererConfig(min_isect_capacity=1 << 20,
                                         fast_math=fast_math),
             density=VanillaDensityControllerConfig(
                 densify_until_iter=(densify_until
@@ -272,9 +273,15 @@ def main():
         # fault zone is ~step 1500-2600), sparser once the state is large
         saves = (list(range(1000, min(steps, 10000), 1000))
                  + list(range(10000, steps, 5000)))
+        # GSL_QUALITY_MIN_CAPACITY pre-sizes the MODEL capacity for the
+        # same reason as the isect pre-size above: both round-4 and
+        # round-5 worker crashes landed near the 131072 -> 262144 model
+        # doubling, i.e. at big-executable retraces (NOTES_ROUND5)
+        min_cap = int(os.environ.get("GSL_QUALITY_MIN_CAPACITY", 1 << 15))
         cfg = FitConfig(max_steps=steps, output_dir=out_dir,
                         save_iterations=saves,
-                        save_ply=False,
+                        save_ply=False, min_capacity=min_cap,
+                        min_isect_capacity=mic,
                         log_interval=500, resume="auto", seed=seed)
         already_done = os.path.isdir(
             os.path.join(out_dir, "checkpoints", f"step_{steps}"))
