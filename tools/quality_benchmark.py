@@ -271,8 +271,12 @@ def main():
         # NOTES_ROUND4 fault) resumes from a recent boundary instead of
         # restarting the phase; dense early (small state, and the known
         # fault zone is ~step 1500-2600), sparser once the state is large
+        # dense saves THROUGHOUT: the axon client leaks ~8 MB/step host
+        # RAM at 512² (NOTES_ROUND5), so long runs are executed as
+        # time-boxed attempts (supervisor kills + resumes) — the save
+        # cadence bounds the work lost per restart
         saves = (list(range(1000, min(steps, 10000), 1000))
-                 + list(range(10000, steps, 5000)))
+                 + list(range(10000, steps, 2000)))
         # GSL_QUALITY_MIN_CAPACITY pre-sizes the MODEL capacity for the
         # same reason as the isect pre-size above: both round-4 and
         # round-5 worker crashes landed near the 131072 -> 262144 model
