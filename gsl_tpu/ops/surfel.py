@@ -208,8 +208,14 @@ def rasterize_surfels(
         rho2d = FILTER_INV_SQUARE * (dxp * dxp + dyp * dyp)
         rho = jnp.minimum(rho3d, rho2d)
 
-        depth = (zc[:, None, :, 2] + u * zc[:, None, :, 0]
-                 + v * zc[:, None, :, 1])
+        # center-depth fallback when the 2D low-pass branch wins
+        # (reference diff-surfel forward.cu; also the NaN guard — see
+        # surfel_pallas._surfel_terms)
+        depth = jnp.where(
+            rho3d <= rho2d,
+            (zc[:, None, :, 2] + u * zc[:, None, :, 0]
+             + v * zc[:, None, :, 1]),
+            zc[:, None, :, 2])
         G = jnp.exp(-0.5 * rho)
         alpha = jnp.minimum(MAX_ALPHA_2D, op[:, None, :] * G)
         keep = ((alpha >= ALPHA_THRESHOLD) & valid[:, None, :]

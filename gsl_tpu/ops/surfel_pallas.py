@@ -218,7 +218,14 @@ def _surfel_terms(srows, px, py):
     use3d = rho3d <= rho2d
     rho = jnp.minimum(rho3d, rho2d)
 
-    depth = zc[2] + u * zc[0] + v * zc[1]
+    # depth falls back to the CENTER depth when the 2D low-pass branch
+    # wins (reference diff-surfel-rasterization forward.cu: depth =
+    # use3d ? s.Tw + Tw.z : Tw.z). Besides semantics, this is the NaN
+    # guard: a near-degenerate ray-splat solve (|sz| ~ 1e-12) puts u, v
+    # at ~1e24 while the 2D filter keeps alpha alive — an unconditional
+    # plane depth then reaches inf and 0*inf = NaN poisons the whole
+    # backward chunk (round-5 gs2d quality NaN, NOTES_ROUND5)
+    depth = jnp.where(use3d, zc[2] + u * zc[0] + v * zc[1], zc[2])
     G = jnp.exp(-0.5 * rho)
     raw = op * G
     alpha = jnp.minimum(MAX_ALPHA_2D, raw)
@@ -528,10 +535,14 @@ def _bwd_kernel_s(
                 drho2 = jnp.where(t["use3d"], 0.0, drho)
 
                 u, v, zc = t["u"], t["v"], t["zc"]
-                du = 2.0 * u * drho3 + ddepth * zc[0]
-                dv = 2.0 * v * drho3 + ddepth * zc[1]
-                dzu = jnp.sum(ddepth * u, axis=0, keepdims=True)
-                dzv = jnp.sum(ddepth * v, axis=0, keepdims=True)
+                # depth depends on (u, v, zc0, zc1) only in the use3d
+                # branch (center-depth fallback otherwise — see
+                # _surfel_terms); zc2's gradient is 1 in both branches
+                dd3 = jnp.where(t["use3d"], ddepth, 0.0)
+                du = 2.0 * u * drho3 + dd3 * zc[0]
+                dv = 2.0 * v * drho3 + dd3 * zc[1]
+                dzu = jnp.sum(dd3 * u, axis=0, keepdims=True)
+                dzv = jnp.sum(dd3 * v, axis=0, keepdims=True)
                 dz0 = jnp.sum(ddepth, axis=0, keepdims=True)
 
                 cz = t["cz"]

@@ -75,7 +75,13 @@ def depth_to_normal(camera: Cameras, depth: jnp.ndarray) -> jnp.ndarray:
     dx = pts[2:, 1:-1] - pts[:-2, 1:-1]
     dy = pts[1:-1, 2:] - pts[1:-1, :-2]
     n = jnp.cross(dx, dy)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    # safe normalize: jnp.linalg.norm's VJP is 0/0 = NaN at n == 0 (flat
+    # or empty regions where dx = dy = 0), and the NaN survives the zero
+    # cotangent routed around a maximum() — it then poisons the whole
+    # rasterizer backward through the gradient reduce (round-5 gs2d NaN,
+    # NOTES_ROUND5). rsqrt(max(n.n, eps)) has a finite VJP everywhere.
+    n2 = jnp.sum(n * n, axis=-1, keepdims=True)
+    n = n * jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
     out = jnp.zeros_like(pts)
     return out.at[1:-1, 1:-1].set(n)
 

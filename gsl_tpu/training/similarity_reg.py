@@ -57,8 +57,11 @@ def similarity_loss(cfg: SimilarityRegConfig, means, features, alive,
             jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-9)
         sim = jnp.einsum("skd,sld->skl", f, f)
     else:
-        sim = -jnp.linalg.norm(feats[:, :, None] - feats[:, None, :],
-                               axis=-1)
+        # safe L2: linalg.norm's VJP is NaN at zero distance, and the
+        # diagonal (k == l) is EXACTLY zero — the triu mask only zeroes
+        # the loss term, not the NaN riding the masked cotangent
+        diff = feats[:, :, None] - feats[:, None, :]
+        sim = -jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-18))
     reg = -sim * w[:, None, :]                             # [S, K, K]
     k = cfg.n_appearance_nn
     triu = jnp.triu(jnp.ones((k, k), bool), 1)

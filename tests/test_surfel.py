@@ -149,3 +149,22 @@ def test_gs2d_trainer_step():
         s, scalars2 = trainer.train_step(s, cam, gt, H, W, 0, bg)
     assert np.isfinite(float(scalars2["loss"]))
     assert float(scalars2["rgb_diff"]) < float(scalars["rgb_diff"])
+    # PARAMS must stay finite, not just the loss: the round-5 quality run
+    # went loss-finite/params-NaN through the normal-consistency term
+    # (depth_to_normal's unsafe normalize — see NOTES_ROUND5)
+    for k in ("means", "scales", "rotations", "opacities", "shs_dc"):
+        assert np.isfinite(np.asarray(getattr(s.params, k))).all(), k
+
+
+def test_depth_to_normal_grad_finite_on_flat_depth():
+    """cross(dx, dy) == 0 on flat/empty depth regions; the normalize VJP
+    must stay finite there (pre-fix: 0/0 NaN poisoning every upstream
+    gradient through the rasterizer reduce)."""
+    from gsl_tpu.renderers.surfel_renderer import depth_to_normal
+    cam = simple_camera(W, H)
+    # flat zero depth = the empty-background case of the quality run
+    for base in (0.0, 3.0):
+        depth = jnp.full((H, W), base, jnp.float32)
+        g = jax.grad(
+            lambda d: jnp.sum(depth_to_normal(cam, d) ** 2))(depth)
+        assert np.isfinite(np.asarray(g)).all(), base
