@@ -70,8 +70,10 @@ def glossy_rgbs(base_rgbs: jnp.ndarray, metalness: jnp.ndarray,
                 camera_center: jnp.ndarray) -> jnp.ndarray:
     """rgb = clamp(albedo + m * env(reflect(view, normal)))."""
     view = means - camera_center
-    view = view / jnp.maximum(
-        jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-8)
+    # safe normalize (NaN-free VJP if a mean ever lands on the camera
+    # center; same class as the depth_to_normal fix, NOTES_ROUND5)
+    v2 = jnp.sum(view * view, axis=-1, keepdims=True)
+    view = view * jax.lax.rsqrt(jnp.maximum(v2, 1e-16))
     n = gaussian_normals(scales_raw, rotations)
     # flip normals toward the camera
     n = n * jnp.sign(-jnp.sum(view * n, axis=-1, keepdims=True) + 1e-12)

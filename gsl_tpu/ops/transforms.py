@@ -7,6 +7,7 @@ are wxyz; Sigma = R S S^T R^T with S = diag(scales).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -79,5 +80,8 @@ def depth_to_normal(depth: jnp.ndarray, world_to_camera: jnp.ndarray,
     dx = pts[2:, 1:-1] - pts[:-2, 1:-1]
     dy = pts[1:-1, 2:] - pts[1:-1, :-2]
     n = jnp.cross(dx, dy)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    # safe normalize (linalg.norm VJP is 0/0 NaN on flat regions; this
+    # feeds the differentiable normal-reg training loss — NOTES_ROUND5)
+    n2 = jnp.sum(n * n, axis=-1, keepdims=True)
+    n = n * jax.lax.rsqrt(jnp.maximum(n2, 1e-18))
     return jnp.zeros((H, W, 3), depth.dtype).at[1:-1, 1:-1].set(n)
