@@ -314,6 +314,7 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
                 cfg.output_dir, "point_cloud",
                 f"iteration_{step}", "point_cloud.ply"), state.gaussians)
 
+    isect_cap_warned = False
     log_path = os.path.join(cfg.output_dir, "train_log.csv")
     log_f = open(log_path, "a" if start_step > 1 else "w", newline="")
     logger = csv.writer(log_f)
@@ -341,9 +342,23 @@ def fit(trainer: Trainer, outputs: DataParserOutputs, cfg: FitConfig,
                   f"loss={float(scalars['loss']):.5f}", flush=True)
         if step % 50 == 0 and int(scalars["n_dropped_isects"]) > 0:
             # 1.5x growth (512-aligned): sort/binning cost is linear in the
-            # slot capacity, so over-provisioning is paid on every step
-            isect_capacity = -(-int(isect_capacity * 1.5) // 512) * 512
-            print(f"[fit] isect capacity -> {isect_capacity}")
+            # slot capacity, so over-provisioning is paid on every step.
+            # Growth is CAPPED just under the 2^24 exactness limit of the
+            # f32 offset pipeline (_resolve_capacity): past it, training
+            # continues with dropped intersections and a loud warning —
+            # a degraded render beats a hard stop on a static-shape TPU
+            # (pathological AABBs, e.g. near-edge-on surfels, can demand
+            # unbounded capacity; NOTES_ROUND5)
+            new_cap = min(-(-int(isect_capacity * 1.5) // 512) * 512,
+                          (1 << 24) - 2048)
+            if new_cap != isect_capacity:
+                isect_capacity = new_cap
+                print(f"[fit] isect capacity -> {isect_capacity}")
+            elif not isect_cap_warned:
+                isect_cap_warned = True
+                print("[fit] WARNING: isect capacity at the 2^24 cap; "
+                      f"{int(scalars['n_dropped_isects'])} intersections "
+                      "dropped this step (continuing lossy)")
 
         for plugin in trainer.plugins:
             state = plugin.after_step(state, step)

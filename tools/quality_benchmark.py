@@ -169,6 +169,14 @@ def main():
     ap.add_argument("--fast-steps", type=int, default=1500)
     ap.add_argument("--variant-steps", type=int, default=2000,
                     help="short STP / 2DGS runs (0 = skip)")
+    ap.add_argument("--gs2d-res", type=int, default=0,
+                    help="resolution for the gs2d variant (0 = --res). "
+                         "Surfels have no peak-alpha tile culling, and "
+                         "near-edge-on disks have pathological AABBs — "
+                         "at 512^2 the isect demand can exceed the 2^24 "
+                         "slot limit (NOTES_ROUND5), so the gs2d line "
+                         "runs at a smaller resolution with its own "
+                         "teacher renders of the SAME teacher scene")
     ap.add_argument("--skip-sort-diff", action="store_true")
     ap.add_argument("--out", default="QUALITY.md")
     ap.add_argument("--workdir", default="/tmp/gsl_quality")
@@ -192,51 +200,60 @@ def main():
     t_start = time.time()
 
     # ---- teacher renders = ground truth ----
-    teacher = make_teacher(args.teacher_n)
-    cams = orbit_cameras(args.views, args.res)
-    t_cap = 1 << max(22, int(np.ceil(np.log2(4 * args.teacher_n))))
-    renderer = TileRendererConfig(min_isect_capacity=t_cap).instantiate()
     bg = jnp.zeros(3, jnp.float32)
-    print(f"rendering {args.views} teacher views "
-          f"({args.teacher_n} gaussians)...", flush=True)
-    img_dir = os.path.join(args.workdir, "images")
-    os.makedirs(img_dir, exist_ok=True)
-    names, paths = [], []
-    render_j = None
-    for i, cam in enumerate(cams):
-        name = f"v{i:03d}.png"
-        path = os.path.join(img_dir, name)
-        if not os.path.exists(path):   # resumable: skip rendered views
-            if render_j is None:
-                render_j = jax.jit(lambda c: renderer.forward(
-                    teacher, c, args.res, args.res, bg, 3).render)
-            out_render = render_j(cam)
-            img = (np.clip(np.asarray(out_render), 0, 1)
-                   * 255).astype(np.uint8)
-            Image.fromarray(img).save(path)
-        names.append(name)
-        paths.append(path)
-    del teacher, render_j, renderer
-
-    cam_batch = jax.tree.map(lambda *xs: jnp.stack(
-        [jnp.asarray(x) for x in xs]), *cams)
-    val_idx = list(range(0, args.views, 8))
-    train_idx = [i for i in range(args.views) if i not in val_idx]
-
-    def subset(idx):
-        return ImageSet(image_names=[names[i] for i in idx],
-                        image_paths=[paths[i] for i in idx],
-                        cameras=cam_batch[np.asarray(idx)])
-
     rng = np.random.RandomState(7)
     pc = PointCloud(xyz=rng.uniform(-2, 2, (20000, 3)).astype(np.float32),
                     rgb=rng.rand(20000, 3).astype(np.float32))
-    outputs = DataParserOutputs(
-        train_set=subset(train_idx), val_set=subset(val_idx),
-        test_set=subset(val_idx), point_cloud=pc, camera_extent=4.5)
+
+    def build_outputs(res):
+        """Teacher views + DataParserOutputs at `res` (cached per res;
+        the teacher model only materializes when a view is missing)."""
+        cams = orbit_cameras(args.views, res)
+        img_dir = os.path.join(
+            args.workdir, "images" if res == args.res else f"images{res}")
+        os.makedirs(img_dir, exist_ok=True)
+        names, paths = [], []
+        teacher = render_j = renderer = None
+        print(f"rendering {args.views} teacher views at {res} "
+              f"({args.teacher_n} gaussians)...", flush=True)
+        for i, cam in enumerate(cams):
+            name = f"v{i:03d}.png"
+            path = os.path.join(img_dir, name)
+            if not os.path.exists(path):  # resumable: skip rendered views
+                if render_j is None:
+                    teacher = make_teacher(args.teacher_n)
+                    t_cap = 1 << max(22, int(np.ceil(
+                        np.log2(4 * args.teacher_n))))
+                    renderer = TileRendererConfig(
+                        min_isect_capacity=t_cap).instantiate()
+                    render_j = jax.jit(lambda c: renderer.forward(
+                        teacher, c, res, res, bg, 3).render)
+                out_render = render_j(cam)
+                img = (np.clip(np.asarray(out_render), 0, 1)
+                       * 255).astype(np.uint8)
+                Image.fromarray(img).save(path)
+            names.append(name)
+            paths.append(path)
+        del teacher, render_j, renderer
+
+        cam_batch = jax.tree.map(lambda *xs: jnp.stack(
+            [jnp.asarray(x) for x in xs]), *cams)
+        val_idx = list(range(0, args.views, 8))
+        train_idx = [i for i in range(args.views) if i not in val_idx]
+
+        def subset(idx):
+            return ImageSet(image_names=[names[i] for i in idx],
+                            image_paths=[paths[i] for i in idx],
+                            cameras=cam_batch[np.asarray(idx)])
+
+        return DataParserOutputs(
+            train_set=subset(train_idx), val_set=subset(val_idx),
+            test_set=subset(val_idx), point_cloud=pc, camera_extent=4.5)
+
+    outputs = build_outputs(args.res)
 
     def run(tag, steps, fast_math, seed=42, trainer=None,
-            densify_until=None):
+            densify_until=None, outputs_override=None):
         # phase-result cache: a crashed/restarted protocol run (the axon
         # tunnel can kill the worker mid-phase) resumes without redoing
         # finished phases
@@ -290,7 +307,8 @@ def main():
         already_done = os.path.isdir(
             os.path.join(out_dir, "checkpoints", f"step_{steps}"))
         t0 = time.time()
-        state, results = fit(trainer, outputs, cfg, val_at_end=True)
+        state, results = fit(trainer, outputs_override or outputs, cfg,
+                             val_at_end=True)
         minutes = (time.time() - t0) / 60.0
         if already_done:  # resumed complete phase: recompute from log
             import csv as _csv
@@ -344,15 +362,19 @@ def main():
 
     # ---- kernel-variant short runs through the real presets ----
     variants = {}
+    gs2d_res = args.gs2d_res or args.res
     if args.variant_steps:
-        for preset, tag in (("gs2d.yaml", "gs2d"), ("stp.yaml", "stp")):
+        for preset, tag in (("stp.yaml", "stp"), ("gs2d.yaml", "gs2d")):
             print(f"== variant run: {preset} ==", flush=True)
             cfg_d = load_config([os.path.join(CONFIGS, preset)], {})
             v_trainer, _, _ = build_components(cfg_d)
             v_trainer.renderer_cfg.min_isect_capacity = 1 << 20
+            ov = (build_outputs(gs2d_res)
+                  if tag == "gs2d" and gs2d_res != args.res else None)
             _, _, _, variants[tag] = run(
                 tag, args.variant_steps, True, trainer=v_trainer,
-                densify_until=int(args.variant_steps * 0.5))
+                densify_until=int(args.variant_steps * 0.5),
+                outputs_override=ov)
             print(tag, variants[tag], flush=True)
 
     # ---- packed-key vs exact-sort diff at bench scale ----
@@ -403,8 +425,8 @@ scale.
 | short, exact mode | {args.fast_steps} | {exact_short['psnr']:.2f} | {exact_short['ssim']:.4f} | {exact_short['n_gaussians']} | {exact_short['minutes']:.1f} |
 """
     if variants:
-        md += f"""| STP (stp.yaml: culling + per-pixel resort) | {args.variant_steps} | {variants['stp']['psnr']:.2f} | {variants['stp']['ssim']:.4f} | {variants['stp']['n_gaussians']} | {variants['stp']['minutes']:.1f} |
-| 2DGS (gs2d.yaml: Pallas surfel kernel) | {args.variant_steps} | {variants['gs2d']['psnr']:.2f} | {variants['gs2d']['ssim']:.4f} | {variants['gs2d']['n_gaussians']} | {variants['gs2d']['minutes']:.1f} |
+        md += f"""| STP (stp.yaml: culling + per-pixel resort, {args.res}²) | {args.variant_steps} | {variants['stp']['psnr']:.2f} | {variants['stp']['ssim']:.4f} | {variants['stp']['n_gaussians']} | {variants['stp']['minutes']:.1f} |
+| 2DGS (gs2d.yaml: Pallas surfel kernel, {gs2d_res}²) | {args.variant_steps} | {variants['gs2d']['psnr']:.2f} | {variants['gs2d']['ssim']:.4f} | {variants['gs2d']['n_gaussians']} | {variants['gs2d']['minutes']:.1f} |
 """
     md += f"""
 Converged fast-vs-exact eval delta:
