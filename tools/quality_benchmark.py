@@ -169,6 +169,11 @@ def main():
     ap.add_argument("--fast-steps", type=int, default=1500)
     ap.add_argument("--variant-steps", type=int, default=2000,
                     help="short STP / 2DGS runs (0 = skip)")
+    ap.add_argument("--gs2d-steps", type=int, default=0,
+                    help="steps for the gs2d variant (0 = --variant-"
+                         "steps). Surfel slot demand grows ~tiles*n (no "
+                         "tile culling + edge-on AABBs), so the gs2d "
+                         "line trains shorter/lower-res than stp")
     ap.add_argument("--gs2d-res", type=int, default=0,
                     help="resolution for the gs2d variant (0 = --res). "
                          "Surfels have no peak-alpha tile culling, and "
@@ -371,10 +376,13 @@ def main():
             v_trainer.renderer_cfg.min_isect_capacity = 1 << 20
             ov = (build_outputs(gs2d_res)
                   if tag == "gs2d" and gs2d_res != args.res else None)
+            v_steps = (args.gs2d_steps or args.variant_steps) \
+                if tag == "gs2d" else args.variant_steps
             _, _, _, variants[tag] = run(
-                tag, args.variant_steps, True, trainer=v_trainer,
-                densify_until=int(args.variant_steps * 0.5),
+                tag, v_steps, True, trainer=v_trainer,
+                densify_until=int(v_steps * 0.5),
                 outputs_override=ov)
+            variants[tag]["steps"] = v_steps
             print(tag, variants[tag], flush=True)
 
     # ---- packed-key vs exact-sort diff at bench scale ----
@@ -425,8 +433,8 @@ scale.
 | short, exact mode | {args.fast_steps} | {exact_short['psnr']:.2f} | {exact_short['ssim']:.4f} | {exact_short['n_gaussians']} | {exact_short['minutes']:.1f} |
 """
     if variants:
-        md += f"""| STP (stp.yaml: culling + per-pixel resort, {args.res}²) | {args.variant_steps} | {variants['stp']['psnr']:.2f} | {variants['stp']['ssim']:.4f} | {variants['stp']['n_gaussians']} | {variants['stp']['minutes']:.1f} |
-| 2DGS (gs2d.yaml: Pallas surfel kernel, {gs2d_res}²) | {args.variant_steps} | {variants['gs2d']['psnr']:.2f} | {variants['gs2d']['ssim']:.4f} | {variants['gs2d']['n_gaussians']} | {variants['gs2d']['minutes']:.1f} |
+        md += f"""| STP (stp.yaml: culling + per-pixel resort, {args.res}²) | {variants['stp']['steps']} | {variants['stp']['psnr']:.2f} | {variants['stp']['ssim']:.4f} | {variants['stp']['n_gaussians']} | {variants['stp']['minutes']:.1f} |
+| 2DGS (gs2d.yaml: Pallas surfel kernel, {gs2d_res}²) | {variants['gs2d']['steps']} | {variants['gs2d']['psnr']:.2f} | {variants['gs2d']['ssim']:.4f} | {variants['gs2d']['n_gaussians']} | {variants['gs2d']['minutes']:.1f} |
 """
     md += f"""
 Converged fast-vs-exact eval delta:
