@@ -378,11 +378,17 @@ def main():
                   if tag == "gs2d" and gs2d_res != args.res else None)
             v_steps = (args.gs2d_steps or args.variant_steps) \
                 if tag == "gs2d" else args.variant_steps
-            _, _, _, variants[tag] = run(
-                tag, v_steps, True, trainer=v_trainer,
-                densify_until=int(v_steps * 0.5),
-                outputs_override=ov)
-            variants[tag]["steps"] = v_steps
+            try:
+                _, _, _, variants[tag] = run(
+                    tag, v_steps, True, trainer=v_trainer,
+                    densify_until=int(v_steps * 0.5),
+                    outputs_override=ov)
+                variants[tag]["steps"] = v_steps
+            except Exception as e:  # noqa: BLE001 - protocol resilience:
+                # one failing variant must not block the whole report
+                print(f"[variant {tag}] FAILED: {type(e).__name__}: {e}",
+                      flush=True)
+                continue
             print(tag, variants[tag], flush=True)
 
     # ---- packed-key vs exact-sort diff at bench scale ----
@@ -395,9 +401,14 @@ def main():
             print(f"[cache] sort_diff: {sd}", flush=True)
         else:
             print("== packed vs exact sort diff @1M/1080p ==", flush=True)
-            sd = sort_diff_at_bench_scale()
-            with open(sd_cache, "w") as f:
-                json.dump(sd, f, default=float)
+            try:
+                sd = sort_diff_at_bench_scale()
+                with open(sd_cache, "w") as f:
+                    json.dump(sd, f, default=float)
+            except Exception as e:  # noqa: BLE001 - protocol resilience
+                print(f"[sort_diff] FAILED: {type(e).__name__}: {e}",
+                      flush=True)
+                sd = None
         print(sd, flush=True)
 
     backend = jax.default_backend()
@@ -432,10 +443,14 @@ scale.
 | short, fast mode | {args.fast_steps} | {fast_short['psnr']:.2f} | {fast_short['ssim']:.4f} | {fast_short['n_gaussians']} | {fast_short['minutes']:.1f} |
 | short, exact mode | {args.fast_steps} | {exact_short['psnr']:.2f} | {exact_short['ssim']:.4f} | {exact_short['n_gaussians']} | {exact_short['minutes']:.1f} |
 """
-    if variants:
-        md += f"""| STP (stp.yaml: culling + per-pixel resort, {args.res}²) | {variants['stp']['steps']} | {variants['stp']['psnr']:.2f} | {variants['stp']['ssim']:.4f} | {variants['stp']['n_gaussians']} | {variants['stp']['minutes']:.1f} |
-| 2DGS (gs2d.yaml: Pallas surfel kernel, {gs2d_res}²) | {variants['gs2d']['steps']} | {variants['gs2d']['psnr']:.2f} | {variants['gs2d']['ssim']:.4f} | {variants['gs2d']['n_gaussians']} | {variants['gs2d']['minutes']:.1f} |
-"""
+    labels = {
+        "stp": f"STP (stp.yaml: culling + per-pixel resort, {args.res}²)",
+        "gs2d": f"2DGS (gs2d.yaml: Pallas surfel kernel, {gs2d_res}²)",
+    }
+    for tag, v in variants.items():
+        md += (f"| {labels[tag]} | {v.get('steps', '-')} | "
+               f"{v['psnr']:.2f} | {v['ssim']:.4f} | {v['n_gaussians']} |"
+               f" {v['minutes']:.1f} |\n")
     md += f"""
 Converged fast-vs-exact eval delta:
 {full['psnr'] - conv_exact['psnr']:+.3f} dB on the SAME converged model
