@@ -583,7 +583,7 @@ def _searchsorted_vec(keys, queries, side="left", pad_value=None):
 
 def _build_schedule(sorted_keys, n_tiles, depth_bits, capacity, sb):
     """One entry per (tile, STREAM_BLOCK) pair; `sb`-local [lo, hi) packed in
-    the flags (11 bits each)."""
+    the flags (13 bits each)."""
     G = capacity // sb + n_tiles
     tile_range = jnp.arange(n_tiles + 1, dtype=jnp.uint32) << depth_bits
     bounds = _searchsorted_vec(sorted_keys, tile_range)
@@ -621,18 +621,23 @@ def _build_schedule(sorted_keys, n_tiles, depth_bits, capacity, sb):
     first = valid_chunk & (k_in_tile == 0)
     last = valid_chunk & (k_in_tile == jnp.take(nblocks_t, t) - 1)
 
+    assert sb <= 4096, "lo/hi flag fields hold 13 bits (values <= sb)"
     flags = (valid_chunk.astype(jnp.int32)
              | (first.astype(jnp.int32) << 1)
              | (last.astype(jnp.int32) << 2)
-             | (lo << 3) | (hi << 14)).astype(jnp.int32)
+             | (lo << 3) | (hi << 16)).astype(jnp.int32)
     return ChunkSchedule(blk=blk.astype(jnp.int32),
                          tile_of_chunk=tile_of_chunk.astype(jnp.int32),
                          flags=flags, tile_counts=counts)
 
 
 def _unpack(fl):
+    # 13-bit lo/hi fields (values in [0, sb], so sb up to 4096): 3 flag
+    # bits + 2x13 = 29 bits of the i32. The round-5 STREAM_BLOCK sweep
+    # initially ran on the old 11-bit fields, which sb=2048 silently
+    # overflowed — widen BEFORE sweeping block sizes.
     return ((fl & 1) == 1, ((fl >> 1) & 1) == 1, ((fl >> 2) & 1) == 1,
-            (fl >> 3) & 0x7FF, (fl >> 14) & 0x7FF)
+            (fl >> 3) & 0x1FFF, (fl >> 16) & 0x1FFF)
 
 
 # ---------------------------------------------------------------------------
